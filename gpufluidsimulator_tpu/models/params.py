@@ -1,0 +1,91 @@
+"""Simulation parameter surface.
+
+Reference counterpart: the CUDA ``SimParams`` struct held in ``__constant__``
+memory (SURVEY.md §2 "SimParams/constants"; BASELINE.json north_star names the
+parameter surface: domain bounds, kernel radius ``h``, rest density, stiffness,
+viscosity, scene selection, particle count).
+
+TPU-native design: a frozen, hashable dataclass used as a *static* jit
+argument.  Every field is a Python scalar/tuple, so the whole params object is
+baked into the compiled XLA program exactly like ``__constant__`` memory is
+baked into a CUDA kernel — zero per-step transfer cost, and XLA constant-folds
+all derived quantities (kernel normalisations, grid strides, EOS constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+# Obstacle descriptors are static (baked into the compiled step), mirroring the
+# reference's compiled-in obstacle boundaries for the double-dam-break config.
+#   ("box",    (cx, cy[, cz]), (hx, hy[, hz]))   axis-aligned box, half-extents
+#   ("sphere", (cx, cy[, cz]), radius)
+Obstacle = Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """All physical + numerical constants for one simulation.
+
+    Hashable and immutable: pass as a static argnum (or close over it) so XLA
+    treats every field as a compile-time constant.
+    """
+
+    dim: int = 3                       # 2 or 3
+    h: float = 0.04                    # smoothing / interaction radius
+    rest_density: float = 1000.0       # rho_0
+    stiffness: float = 2000.0          # EOS gas constant k:  p = k (rho - rho_0)
+    viscosity: float = 0.25            # dynamic viscosity mu
+    particle_mass: float = 1.0
+    dt: float = 4e-4
+    gravity: Tuple[float, ...] = (0.0, -9.81, 0.0)
+    bounds_min: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    bounds_max: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    restitution: float = 0.5           # boundary bounce damping in [0, 1]
+    clamp_negative_pressure: bool = True
+    # --- EOS selection: "linear" (k*(rho-rho0)) or "tait" (WCSPH, gamma=7) ---
+    eos: str = "linear"
+    tait_gamma: float = 7.0
+    # --- uniform-grid neighbor structure (configs 2+) -----------------------
+    cell_size: float = 0.0             # 0.0 -> defaults to h
+    cell_capacity: int = 16            # K: fixed particle slots per cell
+    # --- static obstacle SDFs (double-dam-break config) ---------------------
+    obstacles: Tuple[Obstacle, ...] = ()
+
+    # ------------------------------------------------------------------ utils
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError(f"dim must be 2 or 3, got {self.dim}")
+        for name in ("gravity", "bounds_min", "bounds_max"):
+            v = getattr(self, name)
+            if len(v) != self.dim:
+                raise ValueError(
+                    f"{name} has length {len(v)} but dim={self.dim}"
+                )
+        if self.eos not in ("linear", "tait"):
+            raise ValueError(f"unknown eos {self.eos!r}")
+
+    @property
+    def cell(self) -> float:
+        """Edge length of one grid cell (defaults to the support radius h)."""
+        return self.cell_size if self.cell_size > 0.0 else self.h
+
+    @property
+    def grid_res(self) -> Tuple[int, ...]:
+        """Cells per axis covering [bounds_min, bounds_max]."""
+        return tuple(
+            max(1, int(math.ceil((hi - lo) / self.cell - 1e-9)))
+            for lo, hi in zip(self.bounds_min, self.bounds_max)
+        )
+
+    @property
+    def num_cells(self) -> int:
+        n = 1
+        for r in self.grid_res:
+            n *= r
+        return n
+
+    def replace(self, **kw) -> "SimParams":
+        return dataclasses.replace(self, **kw)

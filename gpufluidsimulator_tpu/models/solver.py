@@ -1,0 +1,128 @@
+"""The step engine: State -> State, whole trajectories under one lax.scan.
+
+Reference counterpart: ``ParticleSystem::update(dt)`` — the host loop that
+launches calcHash / sort / reorder / density / forces / integrate per frame
+(SURVEY.md §3.1).  TPU-native design: there is no host orchestration at all.
+``step`` is a pure function; ``run`` jits ``lax.scan(step)`` so an entire
+K-step rollout is ONE device program with zero host round-trips per frame
+(BASELINE.json north_star: "the full step loop under jax.lax.scan and jit so
+no host round-trips occur per frame").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import naive, physics
+from .params import SimParams
+from .state import State
+
+# method name -> step implementation registry; gridded/pallas register here.
+_METHODS = {}
+
+
+def register_method(name: str):
+    def deco(fn):
+        _METHODS[name] = fn
+        return fn
+    return deco
+
+
+@register_method("naive")
+def _step_naive(state: State, params: SimParams) -> State:
+    pos, vel, rho, pres = naive.step_naive(state.pos, state.vel, params)
+    return State(pos=pos, vel=vel, rho=rho, pres=pres,
+                 overflow=jnp.zeros((), jnp.int32))
+
+
+@register_method("gridded")
+def _step_gridded(state: State, params: SimParams) -> State:
+    from ..ops import gridded
+    pos, vel, rho, pres, overflow = gridded.step_gridded(
+        state.pos, state.vel, params)
+    return State(pos=pos, vel=vel, rho=rho, pres=pres, overflow=overflow)
+
+
+def step(state: State, params: SimParams, method: str = "auto") -> State:
+    """One SPH step. method: 'naive' | 'gridded' | 'pallas' | 'auto'."""
+    return _METHODS[resolve_method(method, state.n)](state, params)
+
+
+def resolve_method(method: str, n: int) -> str:
+    if method != "auto":
+        if method not in _METHODS:
+            raise ValueError(
+                f"unknown method {method!r}; available: "
+                f"{sorted(_METHODS)} or 'auto'")
+        return method
+    if n <= 8192 or "gridded" not in _METHODS:
+        return "naive"
+    return "pallas" if "pallas" in _METHODS else "gridded"
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_steps", "method"))
+def _run_scan(state: State, params: SimParams, n_steps: int,
+              method: str) -> State:
+    fn = _METHODS[method]
+    return jax.lax.scan(lambda s, _: (fn(s, params), None),
+                        state, None, length=n_steps)[0]
+
+
+def run(state: State, params: SimParams, n_steps: int,
+        method: str = "auto") -> State:
+    """Advance ``n_steps`` in one jitted lax.scan device program."""
+    return _run_scan(state, params, n_steps, resolve_method(method, state.n))
+
+
+def rollout(state: State, params: SimParams, n_steps: int,
+            method: str = "auto", record_every: int = 1):
+    """Like ``run`` but stacks recorded states: returns (final, traj).
+
+    traj.pos has shape (n_steps//record_every, N, dim) — used by the renderer
+    and the trajectory-comparison tests.
+    """
+    method = resolve_method(method, state.n)
+    return _rollout_scan(state, params, n_steps, method, record_every)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "n_steps", "method",
+                                    "record_every"))
+def _rollout_scan(state, params, n_steps, method, record_every):
+    fn = _METHODS[method]
+    n_outer = n_steps // record_every
+
+    def outer(s, _):
+        s = jax.lax.scan(lambda t, __: (fn(t, params), None),
+                         s, None, length=record_every)[0]
+        return s, s.pos
+
+    return jax.lax.scan(outer, state, None, length=n_outer)
+
+
+class FluidSim:
+    """Convenience OO facade mirroring the reference ParticleSystem API
+    (init/step/getPositions — SURVEY.md §1 L1), wrapping the functional core.
+    """
+
+    def __init__(self, params: SimParams, state: State,
+                 method: str = "auto"):
+        self.params = params
+        self.state = state
+        self.method = resolve_method(method, state.n)
+
+    def step(self, n: int = 1) -> State:
+        self.state = run(self.state, self.params, n, self.method)
+        return self.state
+
+    def get_positions(self):
+        import numpy as np
+        return np.asarray(self.state.pos)
+
+    def get_velocities(self):
+        import numpy as np
+        return np.asarray(self.state.vel)

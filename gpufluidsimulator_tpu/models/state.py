@@ -1,0 +1,43 @@
+"""Particle state pytree.
+
+Reference counterpart: the device buffers owned by the ``ParticleSystem`` host
+class (pos/vel/density/pressure, SURVEY.md §1 L1).  TPU-native design: a pure
+functional NamedTuple pytree — no mutation, no host class; ``step`` maps
+State -> State under jit, and the whole trajectory lives in one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class State(NamedTuple):
+    pos: jnp.ndarray        # (N, dim) float32
+    vel: jnp.ndarray        # (N, dim) float32
+    rho: jnp.ndarray        # (N,)     float32  (diagnostic: last-step density)
+    pres: jnp.ndarray       # (N,)     float32  (diagnostic: last-step pressure)
+    # cell-capacity overflow count from the last gridded step (SURVEY.md §4.2:
+    # "fixed-capacity overflow counter is observable"); 0 for the naive path.
+    overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.pos.shape[1]
+
+
+def make_state(pos, vel=None) -> State:
+    pos = jnp.asarray(pos, jnp.float32)
+    if vel is None:
+        vel = jnp.zeros_like(pos)
+    else:
+        vel = jnp.asarray(vel, jnp.float32)
+    n = pos.shape[0]
+    return State(pos=pos, vel=vel,
+                 rho=jnp.zeros((n,), jnp.float32),
+                 pres=jnp.zeros((n,), jnp.float32))
