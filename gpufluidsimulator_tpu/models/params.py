@@ -50,7 +50,9 @@ class SimParams:
     tait_gamma: float = 7.0
     # --- uniform-grid neighbor structure (configs 2+) -----------------------
     cell_size: float = 0.0             # 0.0 -> defaults to h
-    cell_capacity: int = 16            # K: fixed particle slots per cell
+    # K: fixed particle slots per cell.  Mean occupancy at cell=h is ~2.2
+    # (3D lattice, h = 1.3 dx); 8 covers the compressed tail with margin.
+    cell_capacity: int = 8
     # --- static obstacle SDFs (double-dam-break config) ---------------------
     obstacles: Tuple[Obstacle, ...] = ()
 

@@ -132,6 +132,7 @@ def add_states(a: State, b: State) -> State:
         vel=jnp.concatenate([a.vel, b.vel], axis=0),
         rho=jnp.concatenate([a.rho, b.rho], axis=0),
         pres=jnp.concatenate([a.pres, b.pres], axis=0),
+        ids=jnp.concatenate([a.ids, b.ids + a.n], axis=0),
         overflow=a.overflow + b.overflow,
     )
 

@@ -35,7 +35,7 @@ def register_method(name: str):
 @register_method("naive")
 def _step_naive(state: State, params: SimParams) -> State:
     pos, vel, rho, pres = naive.step_naive(state.pos, state.vel, params)
-    return State(pos=pos, vel=vel, rho=rho, pres=pres,
+    return State(pos=pos, vel=vel, rho=rho, pres=pres, ids=state.ids,
                  overflow=jnp.zeros((), jnp.int32))
 
 
@@ -44,7 +44,17 @@ def _step_gridded(state: State, params: SimParams) -> State:
     from ..ops import gridded
     pos, vel, rho, pres, overflow = gridded.step_gridded(
         state.pos, state.vel, params)
-    return State(pos=pos, vel=vel, rho=rho, pres=pres, overflow=overflow)
+    return State(pos=pos, vel=vel, rho=rho, pres=pres, ids=state.ids,
+                 overflow=overflow)
+
+
+@register_method("pallas")
+def _step_pallas(state: State, params: SimParams) -> State:
+    from ..ops import pallas_sph
+    pos, vel, rho, pres, ids, overflow = pallas_sph.step_pallas(
+        state.pos, state.vel, state.ids, params)
+    return State(pos=pos, vel=vel, rho=rho, pres=pres, ids=ids,
+                 overflow=overflow)
 
 
 def step(state: State, params: SimParams, method: str = "auto") -> State:
@@ -120,9 +130,19 @@ class FluidSim:
         return self.state
 
     def get_positions(self):
+        """Positions in original (spawn) particle order — mirrors the
+        reference's getPositions() even though the device order is sorted."""
         import numpy as np
-        return np.asarray(self.state.pos)
+        return self._unsort(self.state.pos)
 
     def get_velocities(self):
         import numpy as np
-        return np.asarray(self.state.vel)
+        return self._unsort(self.state.vel)
+
+    def _unsort(self, arr):
+        import numpy as np
+        arr = np.asarray(arr)
+        ids = np.asarray(self.state.ids)
+        out = np.empty_like(arr)
+        out[ids] = arr
+        return out

@@ -18,6 +18,10 @@ class State(NamedTuple):
     vel: jnp.ndarray        # (N, dim) float32
     rho: jnp.ndarray        # (N,)     float32  (diagnostic: last-step density)
     pres: jnp.ndarray       # (N,)     float32  (diagnostic: last-step pressure)
+    # Particle identity.  The pallas path keeps particles cell-sorted (the
+    # reference's reorder trick, adopted as the canonical order to avoid
+    # scatter-backs); `ids` tracks each row back to its spawn index.
+    ids: jnp.ndarray = jnp.zeros((0,), jnp.int32)
     # cell-capacity overflow count from the last gridded step (SURVEY.md §4.2:
     # "fixed-capacity overflow counter is observable"); 0 for the naive path.
     overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
@@ -40,4 +44,5 @@ def make_state(pos, vel=None) -> State:
     n = pos.shape[0]
     return State(pos=pos, vel=vel,
                  rho=jnp.zeros((n,), jnp.float32),
-                 pres=jnp.zeros((n,), jnp.float32))
+                 pres=jnp.zeros((n,), jnp.float32),
+                 ids=jnp.arange(n, dtype=jnp.int32))

@@ -1,0 +1,380 @@
+"""Fused Pallas TPU kernels for the SPH neighbor sweeps (config 3+).
+
+Reference counterparts: ``computeDensityPressureKernel`` and
+``computeForcesKernel`` — the two hot CUDA kernels (SURVEY.md §3.1).  This is
+NOT a translation: the CUDA kernels are one-thread-per-particle with gather
+loops; TPUs have no per-lane gather, so the sweep is restructured around the
+rank-planar layout (ops/planes.py):
+
+  * grid = (z-planes, y-blocks); each program owns an (8 y-rows x 128 x-cells)
+    tile of cells and all K rank planes above it.
+  * the 3^d-cell stencil is: z -> choice of slab ref, y -> static sublane
+    slice of a 10-row window, x -> lane roll.  Zero gathers, zero dynamic
+    shapes, every vector op runs on a full native (8, 128) tile.
+  * per-block occupancy bounds (scalar-prefetched) bound the rank loops, so
+    the fixed-capacity padding (K=8 vs ~2.2 mean occupancy) costs almost
+    nothing: `fori_loop(0, occ)` instead of K iterations.
+  * empty slots hold sentinel positions -> smoothing kernels evaluate to
+    exactly 0 against them; no masks in the hot loop beyond the r>0 guard.
+
+Distances use direct coordinate differences in f32 (positions are O(1) in
+domain units; the |a|^2-2ab expansion would lose ~3 digits near r->0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.params import SimParams
+from . import kernels, physics
+from . import planes as pm
+from .planes import LANES, ROWS_PER_BLOCK, PlaneGeom
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _roll_x(tile, dx: int):
+    """Candidate tile for x-offset dx: lane l holds cell (l + dx)."""
+    if dx == 0:
+        return tile
+    return pltpu.roll(tile, (-dx) % LANES, axis=1)
+
+
+def _build_windows(scr, refs, n_fields: int, dzs: Sequence[int]):
+    """Assemble (dz, F, K, 10, 128) row windows from the 3 y-block refs per dz.
+
+    Window rows cover y0-1 .. y0+8 (the 8 query rows plus one halo row each
+    side); refs[dz][j] is the y-block (by + j - 1) as an (F, K, 1, 8, 128) ref.
+    """
+    for i, dz in enumerate(dzs):
+        r0, r1, r2 = refs[i]
+        scr[i, :, :, 0:1, :] = r0[:, :, 0, 0,
+                                  ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :]
+        scr[i, :, :, 1:9, :] = r1[:, :, 0, 0, :, :]
+        scr[i, :, :, 9:10, :] = r2[:, :, 0, 0, 0:1, :]
+
+
+def _stencil(dim: int):
+    dzs = (0, 1, 2) if dim == 3 else (1,)
+    return dzs, (0, 1, 2), (-1, 0, 1)
+
+
+# --------------------------------------------------------------------------
+# density kernel
+# --------------------------------------------------------------------------
+
+def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
+                    geom: PlaneGeom):
+    dzs, dys, dxs = _stencil(params.dim)
+    n_in = 3 * len(dzs)
+    refs, (rho_ref, win) = args[:n_in], args[n_in:]
+    refs = [refs[3 * i:3 * i + 3] for i in range(len(dzs))]
+
+    if params.dim == 3:
+        bz, bx, by = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    else:
+        bz, bx, by = 0, pl.program_id(0), pl.program_id(1)
+    bidx = (bz * geom.n_bx + bx) * geom.n_by + by
+    occ_q = occ_q_ref[bidx]
+
+    h2 = jnp.float32(params.h * params.h)
+    c_poly6 = jnp.float32(kernels.poly6_coef(params.h, params.dim) *
+                          params.particle_mass)
+
+    @pl.when(occ_q > 0)
+    def _():
+        _build_windows(win, refs, pm.N_POS_FIELDS, dzs)
+
+        def q_loop(k1, _):
+            qx = win[len(dzs) // 2, 0, k1, 1:9, :]
+            qy = win[len(dzs) // 2, 1, k1, 1:9, :]
+            qz = win[len(dzs) // 2, 2, k1, 1:9, :]
+            acc = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
+            for zi, dz in enumerate(dzs):
+                occ_c = occ_s_ref[bidx * 3 + dz]
+
+                def c_loop(k2, acc):
+                    for dy in (0, 1, 2):
+                        cx = win[zi, 0, k2, dy:dy + 8, :]
+                        cy = win[zi, 1, k2, dy:dy + 8, :]
+                        cz = win[zi, 2, k2, dy:dy + 8, :]
+                        for dx in (-1, 0, 1):
+                            ddx = qx - _roll_x(cx, dx)
+                            ddy = qy - _roll_x(cy, dx)
+                            r2 = ddx * ddx + ddy * ddy
+                            if params.dim == 3:
+                                ddz = qz - _roll_x(cz, dx)
+                                r2 = r2 + ddz * ddz
+                            d = jnp.maximum(h2 - r2, 0.0)
+                            acc = acc + d * d * d
+                    return acc
+
+                acc = jax.lax.fori_loop(0, occ_c, c_loop, acc)
+            rho_ref[k1, 0, 0, :, :] = c_poly6 * acc
+            return 0
+
+        jax.lax.fori_loop(0, occ_q, q_loop, 0)
+
+    # ranks never touched above still need defined output
+    def fill_loop(k1, _):
+        @pl.when(k1 >= occ_q)
+        def _():
+            rho_ref[k1, 0, 0, :, :] = jnp.zeros((ROWS_PER_BLOCK, LANES),
+                                                 jnp.float32)
+        return 0
+    jax.lax.fori_loop(0, geom.k, fill_loop, 0)
+
+
+# --------------------------------------------------------------------------
+# force kernel
+# --------------------------------------------------------------------------
+
+def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
+                  geom: PlaneGeom):
+    """Fused pressure-gradient + viscosity sweep.
+
+    Field order in the input stack (F=8):
+      0:x 1:y 2:z 3:vx 4:vy 5:vz 6:p/rho^2 7:1/rho
+    Output: (3, K, 1, 8, 128) acceleration block (gravity added outside).
+    """
+    dzs, dys, dxs = _stencil(params.dim)
+    n_in = 3 * len(dzs)
+    refs, (acc_ref, win) = args[:n_in], args[n_in:]
+    refs = [refs[3 * i:3 * i + 3] for i in range(len(dzs))]
+
+    if params.dim == 3:
+        bz, bx, by = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    else:
+        bz, bx, by = 0, pl.program_id(0), pl.program_id(1)
+    bidx = (bz * geom.n_bx + bx) * geom.n_by + by
+    occ_q = occ_q_ref[bidx]
+
+    h = jnp.float32(params.h)
+    m_spiky = jnp.float32(-kernels.spiky_grad_coef(params.h, params.dim)
+                          * params.particle_mass)
+    m_visc = jnp.float32(kernels.visc_lap_coef(params.h, params.dim)
+                         * params.particle_mass * params.viscosity)
+
+    @pl.when(occ_q > 0)
+    def _():
+        _build_windows(win, refs, 8, dzs)
+        ctr = len(dzs) // 2
+
+        def q_loop(k1, _):
+            qx = win[ctr, 0, k1, 1:9, :]
+            qy = win[ctr, 1, k1, 1:9, :]
+            qz = win[ctr, 2, k1, 1:9, :]
+            qvx = win[ctr, 3, k1, 1:9, :]
+            qvy = win[ctr, 4, k1, 1:9, :]
+            qvz = win[ctr, 5, k1, 1:9, :]
+            qp = win[ctr, 6, k1, 1:9, :]
+            qir = win[ctr, 7, k1, 1:9, :]
+            z = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
+            ax, ay, az = z, z, z
+
+            for zi, dz in enumerate(dzs):
+                occ_c = occ_s_ref[bidx * 3 + dz]
+
+                def c_loop(k2, a3):
+                    ax, ay, az = a3
+                    for dy in (0, 1, 2):
+                        f = [win[zi, j, k2, dy:dy + 8, :] for j in range(8)]
+                        for dx in (-1, 0, 1):
+                            cx, cy, cz, cvx, cvy, cvz, cp, cir = (
+                                _roll_x(t, dx) for t in f)
+                            ddx = qx - cx
+                            ddy = qy - cy
+                            r2 = ddx * ddx + ddy * ddy
+                            if params.dim == 3:
+                                ddz = qz - cz
+                                r2 = r2 + ddz * ddz
+                            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-16))
+                            r = r2 * inv_r
+                            hr = jnp.maximum(h - r, 0.0)
+                            # zero out self/degenerate pairs
+                            hr = jnp.where(r2 > 1e-14, hr, 0.0)
+                            # pressure: -m (pa+pb) g(r)/r * d  (g<0 folded
+                            # into m_spiky so coef>0 pushes apart)
+                            coef_p = (m_spiky * (qp + cp)) * (hr * hr * inv_r)
+                            ax = ax + coef_p * ddx
+                            ay = ay + coef_p * ddy
+                            # viscosity: mu m (vb-va) ira irb lap(r)
+                            coef_v = (m_visc * hr) * (qir * cir)
+                            ax = ax + coef_v * (cvx - qvx)
+                            ay = ay + coef_v * (cvy - qvy)
+                            if params.dim == 3:
+                                az = az + coef_p * ddz + coef_v * (cvz - qvz)
+                    return ax, ay, az
+
+                ax, ay, az = jax.lax.fori_loop(0, occ_c, c_loop, (ax, ay, az))
+            acc_ref[0, k1, 0, 0, :, :] = ax
+            acc_ref[1, k1, 0, 0, :, :] = ay
+            acc_ref[2, k1, 0, 0, :, :] = az
+            return 0
+
+        jax.lax.fori_loop(0, occ_q, q_loop, 0)
+
+    def fill_loop(k1, _):
+        @pl.when(k1 >= occ_q)
+        def _():
+            acc_ref[:, k1, 0, 0, :, :] = jnp.zeros(
+                (3, ROWS_PER_BLOCK, LANES), jnp.float32)
+        return 0
+    jax.lax.fori_loop(0, geom.k, fill_loop, 0)
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers
+# --------------------------------------------------------------------------
+
+def _grid_and_specs(geom: PlaneGeom, n_fields: int):
+    """Build the (grid, in_specs) for the 3x3 y-block/z-plane stencil copies."""
+    dzs, _, _ = _stencil(geom.dim)
+    blk = (n_fields, geom.k, 1, 1, ROWS_PER_BLOCK, LANES)
+    if geom.dim == 3:
+        grid = (geom.nz, geom.n_bx, geom.n_by)
+
+        def mk(dz, j):
+            return pl.BlockSpec(
+                # grid bz in [0,nz) -> z plane bz+dz (dz in {0,1,2} == z-1..z+1
+                # around interior plane bz+1); y block by+j in [0, n_by+2)
+                # (*_ swallows the scalar-prefetch refs appended by the spec)
+                blk,
+                lambda bz, bx, by, *_, dz=dz, j=j:
+                    (0, 0, bz + dz, bx, by + j, 0),
+                memory_space=pltpu.VMEM)
+
+        in_specs = [mk(dz, j) for dz in (0, 1, 2) for j in (0, 1, 2)]
+    else:
+        grid = (geom.n_bx, geom.n_by)
+
+        def mk(j):
+            return pl.BlockSpec(
+                blk,
+                lambda bx, by, *_, j=j: (0, 0, 0, bx, by + j, 0),
+                memory_space=pltpu.VMEM)
+
+        in_specs = [mk(j) for j in (0, 1, 2)]
+    return grid, in_specs
+
+
+def _out_index(geom: PlaneGeom, lead: int):
+    if geom.dim == 3:
+        return lambda bz, bx, by: (0,) * lead + (0, bz + 1, bx, by + 1, 0)
+    return lambda bx, by: (0,) * lead + (0, 0, bx, by + 1, 0)
+
+
+def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
+                   geom: PlaneGeom):
+    """(3, K, pz, py, 128) position planes -> (K, pz, py, 128) density."""
+    n_dz = 3 if geom.dim == 3 else 1
+    grid, in_specs = _grid_and_specs(geom, pm.N_POS_FIELDS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
+            lambda *ids: _out_index(geom, 0)(*ids[:geom.dim]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(
+            (n_dz, pm.N_POS_FIELDS, geom.k, ROWS_PER_BLOCK + 2, LANES),
+            jnp.float32)],
+    )
+    kernel = functools.partial(_density_kernel, params=params, geom=geom)
+    n_copies = len(in_specs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(occ_q.reshape(-1), occ_s.reshape(-1), *([pos_planes] * n_copies))
+
+
+def accel_planes(field_planes, occ_q, occ_s, params: SimParams,
+                 geom: PlaneGeom):
+    """(8, K, pz, py, 128) field planes -> (3, K, pz, py, 128) acceleration
+    (pressure + viscosity; gravity NOT included)."""
+    n_dz = 3 if geom.dim == 3 else 1
+    grid, in_specs = _grid_and_specs(geom, 8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (3, geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
+            lambda *ids: _out_index(geom, 1)(*ids[:geom.dim]),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(
+            (n_dz, 8, geom.k, ROWS_PER_BLOCK + 2, LANES), jnp.float32)],
+    )
+    kernel = functools.partial(_force_kernel, params=params, geom=geom)
+    n_copies = len(in_specs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (3, geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(occ_q.reshape(-1), occ_s.reshape(-1), *([field_planes] * n_copies))
+
+
+# --------------------------------------------------------------------------
+# full step
+# --------------------------------------------------------------------------
+
+def step_pallas(pos, vel, ids, params: SimParams):
+    """One full SPH step on the Pallas path.
+
+    bin -> density sweep -> EOS -> force sweep -> gather -> integrate.
+    Returns (pos, vel, rho, pres, ids, overflow) in CELL-SORTED order (the
+    reference's reorder-for-coalescing trick, adopted as canonical order;
+    `ids` carries identity).
+    """
+    geom = pm.geometry(params)
+    table = pm.build_planes(pos, vel, ids, params, geom)
+    pos_planes = table.planes[:pm.N_POS_FIELDS]
+
+    # kernel grid runs over interior z planes only -> slice the (pz, n_by)
+    # occupancy tables to (nz, n_by)
+    if geom.dim == 3:
+        occ_q = table.occ_q[1:geom.nz + 1]
+        occ_s = table.occ_s[1:geom.nz + 1]
+    else:
+        occ_q, occ_s = table.occ_q, table.occ_s
+
+    rho_p = density_planes(pos_planes, occ_q, occ_s, params, geom)
+    valid = pos_planes[0] < pm.SENTINEL * 0.5
+    rho_p = jnp.where(valid, rho_p, params.rest_density)
+    rho_p = jnp.maximum(rho_p, 1e-3 * params.rest_density)
+    pres_p = physics.eos_pressure(rho_p, params)
+    # halo lanes hold edge-truncated densities from the kernel; refresh them
+    # from the owning tile before the force sweep reads them as candidates
+    pr2_p = pm.halo_x(pres_p / (rho_p * rho_p))
+    irho_p = pm.halo_x(1.0 / rho_p)
+
+    fields = jnp.concatenate(
+        [table.planes, pr2_p[None], irho_p[None]], axis=0)
+    acc_p = accel_planes(fields, occ_q, occ_s, params, geom)
+
+    # gather per (sorted) particle: acc (3), rho, pres
+    stack = jnp.concatenate([acc_p, rho_p[None], pres_p[None]], axis=0)
+    out = pm.gather_slots(stack, table.slot, table.ok, 0.0)   # (N, 5)
+    grav = jnp.asarray(params.gravity + (0.0,) * (3 - params.dim),
+                       jnp.float32)
+    acc = out[:, :3] + grav                 # dropped rows: 0 + grav = grav
+    acc = acc[:, :params.dim]
+    rho = jnp.where(table.ok, out[:, 3], params.rest_density)
+    pres = jnp.where(table.ok, out[:, 4], 0.0)
+
+    pos, vel = physics.integrate(table.pos_s, table.vel_s, acc, params)
+    return pos, vel, rho, pres, table.ids_s, table.overflow

@@ -1,0 +1,216 @@
+"""Rank-planar cell-grid layout for the Pallas neighbor kernels.
+
+Reference counterpart: the sort + ``reorderDataAndFindCellStartKernel`` data
+staging of the CUDA path (SURVEY.md §2/§3.1) — but laid out for the TPU's
+(8 sublane, 128 lane) vector registers instead of for coalesced warp loads:
+
+  * Each field (pos x/y/z, vel, p/rho^2, 1/rho) is a **rank plane**: a
+    (K, pz, n_bx, py, 128) f32 array.  plane[k, z, xo, y, xi] = field value of
+    the rank-k particle of cell (z, y, x = xo*126 + xi - 1), or a sentinel
+    when the slot is empty.
+  * x is split into tiles of 126 interior cells + 2 halo lanes; lane 0/127 of
+    each tile mirror the adjacent tile's edge cells via two static slice
+    copies (``halo_x`` — the same exchange pattern the multi-chip path uses
+    with ppermute).  Within a tile, neighbor-cell access in x is a lane roll,
+    in y a sublane slice, in z a plane slice.  No gathers anywhere.
+  * Ghost cells: 1 plane in z, 8 rows in y (block-aligned), lane 0 of the
+    first tile / trailing lanes of the last, so stencil reads never branch.
+  * Per-block **occupancy bounds** let the kernels skip empty ranks: mean
+    cell occupancy is ~2.2 at cell size h, so bounding the k-loops by the
+    local max occupancy removes most of the fixed-capacity padding work.
+
+The particle state is kept **cell-sorted** across steps (the reference's
+reorder trick adopted as the canonical order); identity travels in ``ids``.
+This costs one int32 scatter per rebuild — TPU scatters run ~6ms/1M updates
+while gathers are ~40x cheaper, so everything else is formulated as gathers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.params import SimParams
+
+SENTINEL = 1.0e6
+LANES = 128
+TILE_X = LANES - 2          # interior cells per x tile
+ROWS_PER_BLOCK = 8          # query block = 8 y-rows x 128 x-lanes
+
+
+class PlaneGeom(NamedTuple):
+    """Static geometry of the plane layout (all Python ints)."""
+    dim: int
+    k: int                   # cell capacity (rank count)
+    nx: int                  # interior cells in x
+    ny: int
+    nz: int                  # 1 for 2D
+    n_bx: int                # x tiles
+    py: int                  # allocated y cells (ghost band 8 + interior + pad)
+    pz: int                  # allocated z planes (1 ghost each side; 1 if 2D)
+    n_by: int                # interior y blocks
+    cells: int               # total cells = pz * n_bx * py * 128
+
+
+def geometry(params: SimParams) -> PlaneGeom:
+    res = params.grid_res
+    nx = res[0]
+    ny = res[1]
+    nz = res[2] if params.dim == 3 else 1
+    n_bx = -(-nx // TILE_X)
+    n_by = -(-(ny + 2) // ROWS_PER_BLOCK)        # interior + 1-cell halo
+    py = (1 + n_by + 1) * ROWS_PER_BLOCK         # one ghost block each side
+    pz = nz + 2 if params.dim == 3 else 1
+    return PlaneGeom(dim=params.dim, k=params.cell_capacity,
+                     nx=nx, ny=ny, nz=nz, n_bx=n_bx, py=py, pz=pz,
+                     n_by=n_by, cells=pz * n_bx * py * LANES)
+
+
+def cell_linear_parts(pos, params: SimParams, geom: PlaneGeom):
+    """(N, d) -> (N,) linear cell index in the allocated plane frame."""
+    lo = jnp.asarray(params.bounds_min, pos.dtype)
+    inv = 1.0 / params.cell
+
+    def axis(d, n):
+        c = jnp.floor((pos[:, d] - lo[d]) * inv).astype(jnp.int32)
+        return jnp.clip(c, 0, n - 1)
+
+    x = axis(0, geom.nx)
+    xo = x // TILE_X
+    xi = x % TILE_X + 1                              # lane 0 = halo/ghost
+    y = axis(1, geom.ny) + ROWS_PER_BLOCK            # ghost block below
+    z = (axis(2, geom.nz) + 1 if params.dim == 3
+         else jnp.zeros_like(x))
+    return ((z * geom.n_bx + xo) * geom.py + y) * LANES + xi
+
+
+def halo_x(arr):
+    """Mirror x-tile edge cells into the neighbor tiles' halo lanes.
+
+    arr: (..., n_bx, py, 128).  lane 0 of tile t+1 <- lane 126 of tile t;
+    lane 127 of tile t <- lane 1 of tile t+1.  No-op when n_bx == 1 (the
+    outermost lanes then stay ghost).  This is the intra-chip version of the
+    ppermute ghost exchange used across chips (SURVEY.md §5.8).
+    """
+    if arr.shape[-3] == 1:
+        return arr
+    arr = arr.at[..., 1:, :, 0].set(arr[..., :-1, :, TILE_X])
+    arr = arr.at[..., :-1, :, LANES - 1].set(arr[..., 1:, :, 1])
+    return arr
+
+
+class PlaneTable(NamedTuple):
+    """Binned particle data in rank-planar layout + per-block metadata.
+
+    Particle arrays come back **cell-sorted** (``order`` applied): the caller
+    adopts the sorted order as the new canonical particle order and carries
+    identity in ``ids``.
+    """
+    planes: jnp.ndarray       # (F, K, pz, n_bx, py, 128) f32 (see FIELD_*)
+    slot: jnp.ndarray         # (N,) int32 flat slot k*cells + cell of the
+                              #   SORTED particle i; k*cells when dropped
+    ok: jnp.ndarray           # (N,) bool: sorted particle landed in a slot
+    pos_s: jnp.ndarray        # (N, d) cell-sorted positions
+    vel_s: jnp.ndarray        # (N, d) cell-sorted velocities
+    ids_s: jnp.ndarray        # (N,)   cell-sorted particle identities
+    occ_q: jnp.ndarray        # (pz, n_bx, n_by)    int32: block max occupancy
+    occ_s: jnp.ndarray        # (pz, n_bx, n_by, 3) int32: z-1/z/z+1 slab max
+    overflow: jnp.ndarray     # ()  int32
+
+
+# field indices within `planes`
+FIELD_X, FIELD_Y, FIELD_Z = 0, 1, 2
+FIELD_VX, FIELD_VY, FIELD_VZ = 3, 4, 5
+N_POS_FIELDS = 3
+
+
+def build_planes(pos, vel, ids, params: SimParams,
+                 geom: PlaneGeom) -> PlaneTable:
+    """Bin particles into rank planes (sort_by_key + reorder analog)."""
+    n = pos.shape[0]
+    k = geom.k
+    cells = geom.cells
+
+    cid = cell_linear_parts(pos, params, geom)
+    order = jnp.argsort(cid, stable=True)
+    cid_sorted = cid[order]
+    pos_s = pos[order]
+    vel_s = vel[order]
+    ids_s = ids[order]
+    # rank within cell: position minus the index where this cell's run began
+    # (an O(N) cummax instead of searchsorted: binary search is 20 dependent
+    # gathers per particle on TPU, the scan is one pass)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.where(cid_sorted[1:] != cid_sorted[:-1], idx[1:], 0)])
+    rank = idx - jax.lax.associative_scan(jnp.maximum, run_start)
+    ok = rank < k
+    overflow = jnp.sum(~ok).astype(jnp.int32)
+    slot = jnp.where(ok, rank * cells + cid_sorted, k * cells)
+
+    # Field planes by per-field f32 scatter: scatter cost scales with N
+    # (~6ms/1M updates) while any slot-indexed gather scales with K*cells
+    # (~16N) — scatters win ~3x here.  Empty-slot encoding: positions hold
+    # SENTINEL, velocities 0.
+    dim = params.dim
+    zero = jnp.zeros((n,), jnp.float32)
+    fields = [pos_s[:, 0], pos_s[:, 1],
+              pos_s[:, 2] if dim == 3 else zero,
+              vel_s[:, 0], vel_s[:, 1],
+              vel_s[:, 2] if dim == 3 else zero]
+    f = len(fields)
+
+    def plane(fld, fill):
+        flat = jnp.full((k * cells,), fill, jnp.float32).at[slot].set(
+            fld, mode="drop")
+        return flat.reshape(k, geom.pz, geom.n_bx, geom.py, LANES)
+
+    planes = jnp.stack(
+        [plane(fld, SENTINEL if i < N_POS_FIELDS else 0.0)
+         for i, fld in enumerate(fields)], axis=0)
+    planes = halo_x(planes)
+
+    # --- occupancy and per-block bounds -----------------------------------
+    valid = planes[FIELD_X] < SENTINEL * 0.5
+    occ = jnp.sum(valid.reshape(k, cells), axis=0, dtype=jnp.int32)
+    occ = halo_x(occ.reshape(geom.pz, geom.n_bx, geom.py, LANES))
+    # max over x lanes -> (pz, n_bx, py); then block pooling with 1-row halo
+    rowmax = jnp.max(occ, axis=-1)
+    nb = geom.n_by
+    blk = rowmax.reshape(geom.pz, geom.n_bx, -1, ROWS_PER_BLOCK)
+    blkmax = jnp.max(blk, axis=-1)                        # (pz, n_bx, nby+2)
+    edge_lo = rowmax[..., ROWS_PER_BLOCK - 1::ROWS_PER_BLOCK]   # row y0-1
+    edge_hi = rowmax[..., ROWS_PER_BLOCK::ROWS_PER_BLOCK]       # row y0+8
+    occ_q = blkmax[..., 1:nb + 1]
+    slab = jnp.maximum(blkmax[..., 1:nb + 1],
+                       jnp.maximum(edge_lo[..., 0:nb], edge_hi[..., 1:nb + 1]))
+    if params.dim == 3:
+        zpad = jnp.zeros_like(slab[:1])
+        occ_s = jnp.stack([
+            jnp.concatenate([zpad, slab[:-1]], axis=0),   # z-1
+            slab,                                          # z
+            jnp.concatenate([slab[1:], zpad], axis=0),     # z+1
+        ], axis=-1)
+    else:
+        occ_s = jnp.stack([slab * 0, slab, slab * 0], axis=-1)
+    return PlaneTable(planes=planes, slot=slot, ok=ok,
+                      pos_s=pos_s, vel_s=vel_s, ids_s=ids_s,
+                      occ_q=occ_q, occ_s=occ_s, overflow=overflow)
+
+
+def gather_slots(plane_stack, slot, ok, fill):
+    """(F, K, pz, n_bx, py, 128) planes + (N,) slots -> (N, F) per-particle
+    values in sorted order.  Dropped particles (ok == False) get `fill`.
+
+    One 1D gather per field: TPU lowers batched/2D fancy indexing to a
+    pathologically slow path (~80ms/1M rows measured); plain 1D gathers are
+    ~0.2ms.
+    """
+    f = plane_stack.shape[0]
+    flat = plane_stack.reshape(f, -1)
+    idx = jnp.minimum(slot, flat.shape[1] - 1)
+    cols = [jnp.where(ok, flat[i][idx], fill) for i in range(f)]
+    return jnp.stack(cols, axis=-1)
