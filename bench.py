@@ -1,0 +1,45 @@
+"""Benchmark harness — run on the real TPU chip; prints ONE JSON line.
+
+Headline metric (BASELINE.json): particle-steps/sec/chip at 1M SPH particles,
+3D double dam break with obstacle boundaries, fused Pallas step under scan
+(config 4).  vs_baseline is relative to the 1e9 target in BASELINE.json
+north_star (see BASELINE.md §roofline for why that target exceeds the v5e
+VPU roofline for this algorithm).
+
+Timing uses the slope method (utils/profiling.py): the axon tunnel adds
+~30ms per host sync and block_until_ready does not fence reliably, so we
+difference two scan lengths with forced scalar pulls.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_TARGET = 1.0e9  # particle-steps/sec/chip @1M (BASELINE.json)
+
+
+def main() -> None:
+    from gpufluidsimulator_tpu import scenes
+    from gpufluidsimulator_tpu.models import solver
+    from gpufluidsimulator_tpu.utils.profiling import slope_time
+
+    params, state = scenes.double_dam_break(n=1_000_000, dim=3)
+    method = "pallas"
+    fn = solver._METHODS[method]
+    t = slope_time(lambda s: fn(s, params), state, k1=2, k2=10, reps=3)
+    value = state.n / t
+
+    print(json.dumps({
+        "metric": "particle-steps/sec/chip @1M 3D double-dam-break (pallas)",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / BASELINE_TARGET,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -332,25 +332,29 @@ def accel_planes(field_planes, occ_q, occ_s, params: SimParams,
 # full step
 # --------------------------------------------------------------------------
 
-def step_pallas(pos, vel, ids, params: SimParams):
+def step_pallas(pos, vel, ids, params: SimParams, *,
+                x_origin=None, active=None, exchange=None,
+                wall_params: SimParams = None):
     """One full SPH step on the Pallas path.
 
-    bin -> density sweep -> EOS -> force sweep -> gather -> integrate.
-    Returns (pos, vel, rho, pres, ids, overflow) in CELL-SORTED order (the
+    bin -> (ghost exchange) -> density sweep -> EOS -> (ghost exchange) ->
+    force sweep -> gather -> integrate.  Returns
+    (pos, vel, rho, pres, ids, overflow) in CELL-SORTED order (the
     reference's reorder-for-coalescing trick, adopted as canonical order;
     `ids` carries identity).
+
+    Sharded mode (parallel/sharded.py): ``x_origin`` is the device's domain
+    offset, ``active`` masks live capacity slots, and ``exchange(stack,
+    pos_fields)`` fills the outermost halo lanes from neighbor devices.
     """
     geom = pm.geometry(params)
-    table = pm.build_planes(pos, vel, ids, params, geom)
-    pos_planes = table.planes[:pm.N_POS_FIELDS]
-
-    # kernel grid runs over interior z planes only -> slice the (pz, n_by)
-    # occupancy tables to (nz, n_by)
-    if geom.dim == 3:
-        occ_q = table.occ_q[1:geom.nz + 1]
-        occ_s = table.occ_s[1:geom.nz + 1]
-    else:
-        occ_q, occ_s = table.occ_q, table.occ_s
+    table = pm.build_planes(pos, vel, ids, params, geom,
+                            x_origin=x_origin, active=active)
+    planes = table.planes
+    if exchange is not None:
+        planes = exchange(planes, n_pos_fields=pm.N_POS_FIELDS)
+    occ_q, occ_s = pm.occupancy_bounds(planes, params, geom)
+    pos_planes = planes[:pm.N_POS_FIELDS]
 
     rho_p = density_planes(pos_planes, occ_q, occ_s, params, geom)
     valid = pos_planes[0] < pm.SENTINEL * 0.5
@@ -363,7 +367,11 @@ def step_pallas(pos, vel, ids, params: SimParams):
     irho_p = pm.halo_x(1.0 / rho_p)
 
     fields = jnp.concatenate(
-        [table.planes, pr2_p[None], irho_p[None]], axis=0)
+        [planes, pr2_p[None], irho_p[None]], axis=0)
+    if exchange is not None:
+        # refresh the derived fields' cross-device halos (positions in the
+        # stack are already exchanged; re-exchanging them is idempotent)
+        fields = exchange(fields, n_pos_fields=pm.N_POS_FIELDS)
     acc_p = accel_planes(fields, occ_q, occ_s, params, geom)
 
     # gather per (sorted) particle: acc (3), rho, pres
@@ -376,5 +384,16 @@ def step_pallas(pos, vel, ids, params: SimParams):
     rho = jnp.where(table.ok, out[:, 3], params.rest_density)
     pres = jnp.where(table.ok, out[:, 4], 0.0)
 
-    pos, vel = physics.integrate(table.pos_s, table.vel_s, acc, params)
+    if active is not None:
+        active_s = table.ids_s >= 0
+        acc = jnp.where(active_s[:, None], acc, 0.0)
+
+    # walls/obstacles may differ from the binning grid (sharded mode: the
+    # grid covers one slab but the walls are the global domain)
+    pos, vel = physics.integrate(table.pos_s, table.vel_s, acc,
+                                 wall_params or params)
+    if active is not None:
+        # keep inactive slots parked at the sentinel position
+        pos = jnp.where(active_s[:, None], pos, pm.SENTINEL)
+        vel = jnp.where(active_s[:, None], vel, 0.0)
     return pos, vel, rho, pres, table.ids_s, table.overflow

@@ -68,16 +68,22 @@ def geometry(params: SimParams) -> PlaneGeom:
                      n_by=n_by, cells=pz * n_bx * py * LANES)
 
 
-def cell_linear_parts(pos, params: SimParams, geom: PlaneGeom):
-    """(N, d) -> (N,) linear cell index in the allocated plane frame."""
+def cell_linear_parts(pos, params: SimParams, geom: PlaneGeom,
+                      x_origin=None):
+    """(N, d) -> (N,) linear cell index in the allocated plane frame.
+
+    ``x_origin`` (traced scalar) overrides bounds_min[0] — the sharded path
+    passes each device's domain offset while sharing one compiled program.
+    """
     lo = jnp.asarray(params.bounds_min, pos.dtype)
     inv = 1.0 / params.cell
 
-    def axis(d, n):
-        c = jnp.floor((pos[:, d] - lo[d]) * inv).astype(jnp.int32)
+    def axis(d, n, origin=None):
+        base = lo[d] if origin is None else origin
+        c = jnp.floor((pos[:, d] - base) * inv).astype(jnp.int32)
         return jnp.clip(c, 0, n - 1)
 
-    x = axis(0, geom.nx)
+    x = axis(0, geom.nx, x_origin)
     xo = x // TILE_X
     xi = x % TILE_X + 1                              # lane 0 = halo/ghost
     y = axis(1, geom.ny) + ROWS_PER_BLOCK            # ghost block below
@@ -115,8 +121,6 @@ class PlaneTable(NamedTuple):
     pos_s: jnp.ndarray        # (N, d) cell-sorted positions
     vel_s: jnp.ndarray        # (N, d) cell-sorted velocities
     ids_s: jnp.ndarray        # (N,)   cell-sorted particle identities
-    occ_q: jnp.ndarray        # (pz, n_bx, n_by)    int32: block max occupancy
-    occ_s: jnp.ndarray        # (pz, n_bx, n_by, 3) int32: z-1/z/z+1 slab max
     overflow: jnp.ndarray     # ()  int32
 
 
@@ -126,14 +130,21 @@ FIELD_VX, FIELD_VY, FIELD_VZ = 3, 4, 5
 N_POS_FIELDS = 3
 
 
-def build_planes(pos, vel, ids, params: SimParams,
-                 geom: PlaneGeom) -> PlaneTable:
-    """Bin particles into rank planes (sort_by_key + reorder analog)."""
+def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
+                 x_origin=None, active=None) -> PlaneTable:
+    """Bin particles into rank planes (sort_by_key + reorder analog).
+
+    ``active`` (N,) bool marks live particles; inactive rows (the sharded
+    path's free-capacity slots) sort to the end, bind to no cell, and are
+    excluded from the overflow count.
+    """
     n = pos.shape[0]
     k = geom.k
     cells = geom.cells
 
-    cid = cell_linear_parts(pos, params, geom)
+    cid = cell_linear_parts(pos, params, geom, x_origin)
+    if active is not None:
+        cid = jnp.where(active, cid, cells)     # one-past-the-end "cell"
     order = jnp.argsort(cid, stable=True)
     cid_sorted = cid[order]
     pos_s = pos[order]
@@ -147,8 +158,9 @@ def build_planes(pos, vel, ids, params: SimParams,
         jnp.zeros((1,), jnp.int32),
         jnp.where(cid_sorted[1:] != cid_sorted[:-1], idx[1:], 0)])
     rank = idx - jax.lax.associative_scan(jnp.maximum, run_start)
-    ok = rank < k
-    overflow = jnp.sum(~ok).astype(jnp.int32)
+    in_domain = cid_sorted < cells
+    ok = (rank < k) & in_domain
+    overflow = jnp.sum(~ok & in_domain).astype(jnp.int32)
     slot = jnp.where(ok, rank * cells + cid_sorted, k * cells)
 
     # Field planes by per-field f32 scatter: scatter cost scales with N
@@ -173,10 +185,21 @@ def build_planes(pos, vel, ids, params: SimParams,
          for i, fld in enumerate(fields)], axis=0)
     planes = halo_x(planes)
 
-    # --- occupancy and per-block bounds -----------------------------------
+    return PlaneTable(planes=planes, slot=slot, ok=ok,
+                      pos_s=pos_s, vel_s=vel_s, ids_s=ids_s,
+                      overflow=overflow)
+
+
+def occupancy_bounds(planes, params: SimParams, geom: PlaneGeom):
+    """Per-block occupancy bounds from the (already halo'd) position planes.
+
+    Runs AFTER any inter-device ghost exchange so the bounds account for
+    ghost particles in the halo lanes.  Returns (occ_q, occ_s).
+    """
+    k, cells = geom.k, geom.cells
     valid = planes[FIELD_X] < SENTINEL * 0.5
     occ = jnp.sum(valid.reshape(k, cells), axis=0, dtype=jnp.int32)
-    occ = halo_x(occ.reshape(geom.pz, geom.n_bx, geom.py, LANES))
+    occ = occ.reshape(geom.pz, geom.n_bx, geom.py, LANES)
     # max over x lanes -> (pz, n_bx, py); then block pooling with 1-row halo
     rowmax = jnp.max(occ, axis=-1)
     nb = geom.n_by
@@ -196,9 +219,11 @@ def build_planes(pos, vel, ids, params: SimParams,
         ], axis=-1)
     else:
         occ_s = jnp.stack([slab * 0, slab, slab * 0], axis=-1)
-    return PlaneTable(planes=planes, slot=slot, ok=ok,
-                      pos_s=pos_s, vel_s=vel_s, ids_s=ids_s,
-                      occ_q=occ_q, occ_s=occ_s, overflow=overflow)
+    # kernels grid over interior z planes only
+    if params.dim == 3:
+        occ_q = occ_q[1:geom.nz + 1]
+        occ_s = occ_s[1:geom.nz + 1]
+    return occ_q, occ_s
 
 
 def gather_slots(plane_stack, slot, ok, fill):

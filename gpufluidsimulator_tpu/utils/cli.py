@@ -1,0 +1,192 @@
+"""Command-line interface.
+
+Reference counterpart: ``main.cpp`` — arg parsing, mode select (GPU/CPU/
+bench), frame loop with FPS timing (SURVEY.md §2 "App/CLI", §3.5).  The
+reference's parameter surface is preserved: scene selection, particle count,
+domain bounds, h, rest density, stiffness, viscosity, dt, gravity
+(BASELINE.json north_star).
+
+Subcommands:
+  run     simulate; optional movie export + checkpoints   (the GLUT loop)
+  bench   headless benchmark loop -> ms/frame, p-steps/s  (the --bench mode)
+  render  single frame from a checkpoint -> PNG
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+def _add_scene_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", default="dam_break",
+                   choices=["dam_break", "double_dam_break"])
+    p.add_argument("-n", "--particles", type=int, default=65536)
+    p.add_argument("--dim", type=int, default=2, choices=[2, 3])
+    p.add_argument("--jitter", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    # parameter overrides (reference SimParams surface)
+    p.add_argument("--h", type=float, default=None)
+    p.add_argument("--rest-density", type=float, default=None)
+    p.add_argument("--stiffness", type=float, default=None)
+    p.add_argument("--viscosity", type=float, default=None)
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--gravity", type=float, default=None,
+                   help="vertical gravity (m/s^2, negative = down)")
+    p.add_argument("--cell-capacity", type=int, default=None)
+    p.add_argument("--method", default="auto",
+                   choices=["auto", "naive", "gridded", "pallas"])
+
+
+def _build_scene(args):
+    from ..models import scenes
+    params, state = scenes.SCENES[args.scene](
+        n=args.particles, dim=args.dim, jitter=args.jitter, seed=args.seed)
+    over = {}
+    for name, attr in [("h", "h"), ("rest_density", "rest_density"),
+                       ("stiffness", "stiffness"),
+                       ("viscosity", "viscosity"), ("dt", "dt"),
+                       ("cell_capacity", "cell_capacity")]:
+        v = getattr(args, name)
+        if v is not None:
+            over[attr] = v
+    if args.gravity is not None:
+        g = [0.0] * args.dim
+        g[1] = args.gravity
+        over["gravity"] = tuple(g)
+    if over:
+        params = params.replace(**over)
+    return params, state
+
+
+def cmd_run(args) -> int:
+    import jax
+    from .. import FluidSim
+    from ..ops import render
+    from . import checkpoint, metrics
+
+    if args.resume:
+        state, params, start = checkpoint.load(args.resume)
+        print(f"resumed from {args.resume} at step {start}")
+    else:
+        params, state = _build_scene(args)
+        start = 0
+    sim = FluidSim(params, state, method=args.method)
+    mets = metrics.RunMetrics(params, state.n, sim.method)
+    print(f"scene={args.scene} N={state.n} dim={params.dim} "
+          f"h={params.h:.4g} dt={params.dt:.3g} method={sim.method}")
+
+    interval = max(1, args.report_every)
+    step = start
+    while step < start + args.steps:
+        chunk = min(interval, start + args.steps - step)
+        sim.step(chunk)
+        step += chunk
+        s = mets.record(step, sim.state, params)
+        print(f"  step {step}: {s['steps_per_sec']:.1f} steps/s "
+              f"ms/frame={s['ms_per_frame']:.2f} vmax={s['vmax']:.3f} "
+              f"overflow={s['overflow']}")
+        if args.frames_dir:
+            os.makedirs(args.frames_dir, exist_ok=True)
+            render.save_frame(
+                os.path.join(args.frames_dir, f"frame_{step:09d}.png"),
+                sim.state, params, width=args.width, height=args.height)
+        if args.checkpoint_dir and (step - start) % (
+                interval * max(1, args.checkpoint_every)) == 0:
+            path = checkpoint.rotate(args.checkpoint_dir, sim.state,
+                                     params, step)
+            print(f"  checkpoint -> {path}")
+    if args.checkpoint_dir:
+        checkpoint.rotate(args.checkpoint_dir, sim.state, params, step)
+    if args.metrics_json:
+        mets.dump_json(args.metrics_json)
+    if args.metrics_csv:
+        mets.dump_csv(args.metrics_csv)
+    final = metrics.invariants(sim.state, params)
+    print(json.dumps({k: v for k, v in final.items() if k != "momentum"}))
+    return 1 if final["nan"] else 0
+
+
+def cmd_bench(args) -> int:
+    from ..models import solver
+    from . import profiling
+
+    params, state = _build_scene(args)
+    method = solver.resolve_method(args.method, state.n)
+    fn = solver._METHODS[method]
+    t = profiling.slope_time(lambda s: fn(s, params), state,
+                             k1=args.k1, k2=args.k2)
+    result = {
+        "metric": "particle-steps/sec/chip",
+        "scene": args.scene, "n": state.n, "dim": params.dim,
+        "method": method,
+        "ms_per_frame": t * 1e3,
+        "steps_per_sec": 1.0 / t,
+        "value": state.n / t,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_render(args) -> int:
+    from ..ops import render
+    from . import checkpoint
+
+    state, params, step = checkpoint.load(args.checkpoint)
+    render.save_frame(args.out, state, params, width=args.width,
+                      height=args.height, color_by=args.color_by,
+                      azimuth=args.azimuth, elevation=args.elevation)
+    print(f"step {step} -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=os.environ.get("FLUID_LOGLEVEL", "WARNING"))
+    ap = argparse.ArgumentParser(
+        prog="python -m gpufluidsimulator_tpu",
+        description="TPU-native SPH fluid simulation framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="simulate a scene")
+    _add_scene_args(p)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--report-every", type=int, default=100)
+    p.add_argument("--frames-dir", default=None)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=10,
+                   help="checkpoints every N report intervals")
+    p.add_argument("--resume", default=None, help="checkpoint to resume")
+    p.add_argument("--metrics-json", default=None)
+    p.add_argument("--metrics-csv", default=None)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("bench", help="benchmark one config")
+    _add_scene_args(p)
+    p.add_argument("--k1", type=int, default=2)
+    p.add_argument("--k2", type=int, default=12)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("render", help="render a checkpoint to PNG")
+    p.add_argument("checkpoint")
+    p.add_argument("-o", "--out", default="frame.png")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--color-by", default="speed",
+                   choices=["speed", "density", "none"])
+    p.add_argument("--azimuth", type=float, default=30.0)
+    p.add_argument("--elevation", type=float, default=20.0)
+    p.set_defaults(fn=cmd_render)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,9 +86,10 @@ def test_pallas_occupancy_bounds_conservative():
     params, state = scenes.dam_break(n=2000, dim=2, jitter=0.4, seed=9)
     geom = pm.geometry(params)
     t = pm.build_planes(state.pos, state.vel, state.ids, params, geom)
+    occ_q_j, _ = pm.occupancy_bounds(t.planes, params, geom)
     valid = np.asarray(t.planes[pm.FIELD_X] < pm.SENTINEL * 0.5)
     occ = valid.sum(axis=0)                   # (pz, n_bx, py, 128)
-    occ_q = np.asarray(t.occ_q)               # (pz, n_bx, n_by)
+    occ_q = np.asarray(occ_q_j)               # (pz, n_bx, n_by)
     nb = geom.n_by
     blocks = occ[:, :, pm.ROWS_PER_BLOCK:(nb + 1) * pm.ROWS_PER_BLOCK, :]
     blocks = blocks.reshape(occ.shape[0], occ.shape[1], nb,

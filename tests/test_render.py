@@ -1,0 +1,77 @@
+"""Renderer tests (SURVEY.md §4.6): splat mass conservation, camera
+projection placement, PNG export round-trip, golden-frame determinism."""
+
+import hashlib
+import os
+import struct
+import zlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpufluidsimulator_tpu import SimParams, scenes
+from gpufluidsimulator_tpu.ops import render
+
+
+def _params2d():
+    return SimParams(dim=2, gravity=(0.0, -9.81),
+                     bounds_min=(0.0, 0.0), bounds_max=(1.0, 1.0), h=0.05)
+
+
+def test_splat_conserves_weight():
+    p = _params2d()
+    pos = jnp.asarray([[0.5, 0.5], [0.25, 0.75]], jnp.float32)
+    fb = render.splat(pos, p, width=64, height=64)
+    assert abs(float(jnp.sum(fb)) - 2.0) < 1e-5   # bilinear weights sum to 1
+
+
+def test_splat_position_2d():
+    p = _params2d()
+    pos = jnp.asarray([[0.25, 0.75]], jnp.float32)
+    fb = np.asarray(render.splat(pos, p, width=100, height=100))
+    iy, ix = np.unravel_index(np.argmax(fb), fb.shape)
+    # x=0.25 -> col ~25; y=0.75 -> row ~25 (y flipped)
+    assert abs(ix - 25) <= 1 and abs(iy - 25) <= 1
+
+
+def test_splat_3d_projects():
+    p = SimParams(dim=3, h=0.1)
+    pos = jnp.asarray([[0.5, 0.5, 0.2], [0.5, 0.5, 0.8]], jnp.float32)
+    fb = render.splat(pos, p, width=64, height=64)
+    assert float(jnp.sum(fb)) > 0.0
+    assert np.isfinite(np.asarray(fb)).all()
+
+
+def test_out_of_frame_particles_dropped():
+    p = _params2d()
+    pos = jnp.asarray([[50.0, 50.0]], jnp.float32)   # far outside
+    fb = render.splat(pos, p, width=32, height=32)
+    assert float(jnp.sum(fb)) == 0.0
+
+
+def test_png_roundtrip(tmp_path):
+    img = (np.arange(32 * 32 * 3) % 255).astype(np.uint8).reshape(32, 32, 3)
+    path = str(tmp_path / "t.png")
+    render.write_png(path, img)
+    raw = open(path, "rb").read()
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", raw[16:24])
+    assert (w, h) == (32, 32)
+    # decode IDAT and compare pixels
+    idat_off = raw.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", raw[idat_off - 8:idat_off - 4])[0]
+    decoded = zlib.decompress(raw[idat_off:idat_off + idat_len])
+    rows = np.frombuffer(decoded, np.uint8).reshape(32, 1 + 32 * 3)
+    assert np.all(rows[:, 0] == 0)                       # filter type 0
+    np.testing.assert_array_equal(rows[:, 1:].reshape(32, 32, 3), img)
+
+
+def test_golden_frame_deterministic(tmp_path):
+    """Same state renders to bit-identical PNGs (golden-frame hashing)."""
+    params, state = scenes.dam_break(n=500, dim=2, jitter=0.2, seed=1)
+    a, b = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    render.save_frame(a, state, params, width=128, height=128)
+    render.save_frame(b, state, params, width=128, height=128)
+    ha = hashlib.sha256(open(a, "rb").read()).hexdigest()
+    hb = hashlib.sha256(open(b, "rb").read()).hexdigest()
+    assert ha == hb

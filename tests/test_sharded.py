@@ -1,0 +1,108 @@
+"""Distributed tests on the 8-virtual-device CPU mesh (SURVEY.md §4.5):
+sharded-vs-unsharded equality, halo-exchange correctness, cross-boundary
+migration, conservation of particles, observable capacity counters."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gpufluidsimulator_tpu import scenes, run
+from gpufluidsimulator_tpu.parallel import mesh as meshmod
+from gpufluidsimulator_tpu.parallel import sharded
+
+
+def _ref_aligned(state, params, steps):
+    ref = run(state, params, steps, method="pallas")
+    order = np.argsort(np.asarray(ref.ids))
+    return np.asarray(ref.pos)[order], np.asarray(ref.vel)[order]
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_matches_single_2d(n_dev):
+    params, state = scenes.dam_break(n=1200, dim=2, jitter=0.2, seed=7)
+    sim = sharded.ShardedSim(params, state, mesh=meshmod.make_mesh(n_dev))
+    sim.step(25)
+    g = sim.gather()
+    rp, rv = _ref_aligned(state, params, 25)
+    assert np.abs(np.asarray(g.pos) - rp).max() < 1e-5
+    assert np.asarray(sim.sstate.overflow).sum() == 0
+    assert np.asarray(sim.sstate.mig_overflow).sum() == 0
+
+
+def test_sharded_matches_single_3d():
+    params, state = scenes.dam_break(n=2000, dim=3, jitter=0.2, seed=8)
+    sim = sharded.ShardedSim(params, state, mesh=meshmod.make_mesh(4))
+    sim.step(15)
+    g = sim.gather()
+    rp, _ = _ref_aligned(state, params, 15)
+    assert np.abs(np.asarray(g.pos) - rp).max() < 1e-5
+
+
+def test_migration_across_boundary():
+    """A particle crossing a shard boundary must land on the neighbor shard
+    and none may be lost (SURVEY.md §4.5)."""
+    import jax.numpy as jnp
+    from gpufluidsimulator_tpu.models.state import make_state
+
+    params, _ = scenes.dam_break(n=800, dim=2)
+    params = params.replace(gravity=(0.0, 0.0))
+    mesh = meshmod.make_mesh(4)
+    _, nxl = sharded.local_params(params, 4)
+    xb = params.bounds_min[0] + nxl * params.cell      # shard 0/1 boundary
+    # one particle heading right across the boundary, one heading left
+    v = 0.05 * params.cell / params.dt                 # crosses in ~20 steps
+    pos = jnp.asarray([[xb - 0.5 * params.cell, 0.5],
+                       [xb + 0.5 * params.cell, 0.3]], jnp.float32)
+    vel = jnp.asarray([[v, 0.0], [-v, 0.0]], jnp.float32)
+    st = make_state(pos, vel)
+    sim = sharded.ShardedSim(params, st, mesh=mesh, n_cap=256, m_cap=16)
+    before = [set(np.asarray(sim.sstate.ids)[d].tolist()) for d in range(4)]
+    assert 0 in before[0] and 1 in before[1]
+    sim.step(30)
+    after = [set(np.asarray(sim.sstate.ids)[d].tolist()) for d in range(4)]
+    assert 0 in after[1], "rightward particle did not migrate to shard 1"
+    assert 1 in after[0], "leftward particle did not migrate to shard 0"
+    g = sim.gather()                      # also asserts none were lost
+    assert np.isfinite(np.asarray(g.pos)).all()
+    assert np.asarray(sim.sstate.mig_overflow).sum() == 0
+
+
+def test_no_particles_lost_long_run():
+    params, state = scenes.double_dam_break(n=1500, dim=2)
+    sim = sharded.ShardedSim(params, state, mesh=meshmod.make_mesh(8))
+    sim.step(150)
+    g = sim.gather()                      # raises if particle count changed
+    ids = np.sort(np.asarray(g.ids))
+    assert np.array_equal(ids, np.arange(state.n))
+
+
+def test_ghost_interaction_across_boundary():
+    """Two particles straddling a shard boundary within h must repel:
+    pressure interaction through the ghost halo."""
+    params, state = scenes.dam_break(n=800, dim=2)
+    params = params.replace(gravity=(0.0, 0.0))
+    mesh = meshmod.make_mesh(4)
+    n_dev = 4
+    _, nxl = sharded.local_params(params, n_dev)
+    xb = params.bounds_min[0] + nxl * params.cell    # shard 0/1 boundary
+    eps = 0.2 * params.h
+    import jax.numpy as jnp
+    from gpufluidsimulator_tpu.models.state import make_state
+    pos = jnp.asarray([[xb - eps, 0.5], [xb + eps, 0.5]], jnp.float32)
+    st = make_state(pos)
+    sim = sharded.ShardedSim(params, st, mesh=mesh, n_cap=256, m_cap=16)
+    sim.step(5)
+    g = sim.gather()
+    p = np.asarray(g.pos)
+    gap = abs(p[1, 0] - p[0, 0])
+    assert gap > 2 * eps, f"no repulsion through shard boundary: gap={gap}"
+
+
+def test_single_device_mesh_works():
+    params, state = scenes.dam_break(n=600, dim=2)
+    sim = sharded.ShardedSim(params, state, mesh=meshmod.make_mesh(1))
+    sim.step(10)
+    g = sim.gather()
+    rp, _ = _ref_aligned(state, params, 10)
+    assert np.abs(np.asarray(g.pos) - rp).max() < 1e-6
