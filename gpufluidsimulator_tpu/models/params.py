@@ -55,6 +55,9 @@ class SimParams:
     cell_capacity: int = 8
     # --- static obstacle SDFs (double-dam-break config) ---------------------
     obstacles: Tuple[Obstacle, ...] = ()
+    # --- observability: gather per-particle rho/pres each step (costs two
+    # extra N-gathers; disable for pure-throughput runs) ---------------------
+    diagnostics: bool = True
 
     # ------------------------------------------------------------------ utils
     def __post_init__(self):

@@ -75,7 +75,7 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                     geom: PlaneGeom):
     dzs, dys, dxs = _stencil(params.dim)
     n_in = 3 * len(dzs)
-    refs, (rho_ref, win) = args[:n_in], args[n_in:]
+    refs, (rho_ref, win, winr) = args[:n_in], args[n_in:]
     refs = [refs[3 * i:3 * i + 3] for i in range(len(dzs))]
 
     if params.dim == 3:
@@ -92,6 +92,13 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     @pl.when(occ_q > 0)
     def _():
         _build_windows(win, refs, pm.N_POS_FIELDS, dzs)
+        # pre-roll whole windows once per block (amortizes the x-stencil
+        # lane rolls over all rank pairs): winr[zi, xi] = win[zi] shifted by
+        # dx = xi - 1
+        for zi in range(len(dzs)):
+            winr[zi, 0] = pltpu.roll(win[zi], 1, axis=3)        # dx = -1
+            winr[zi, 1] = win[zi]
+            winr[zi, 2] = pltpu.roll(win[zi], LANES - 1, axis=3)   # dx = +1
 
         def q_loop(k1, _):
             qx = win[len(dzs) // 2, 0, k1, 1:9, :]
@@ -103,15 +110,12 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
 
                 def c_loop(k2, acc):
                     for dy in (0, 1, 2):
-                        cx = win[zi, 0, k2, dy:dy + 8, :]
-                        cy = win[zi, 1, k2, dy:dy + 8, :]
-                        cz = win[zi, 2, k2, dy:dy + 8, :]
-                        for dx in (-1, 0, 1):
-                            ddx = qx - _roll_x(cx, dx)
-                            ddy = qy - _roll_x(cy, dx)
+                        for xi in (0, 1, 2):
+                            ddx = qx - winr[zi, xi, 0, k2, dy:dy + 8, :]
+                            ddy = qy - winr[zi, xi, 1, k2, dy:dy + 8, :]
                             r2 = ddx * ddx + ddy * ddy
                             if params.dim == 3:
-                                ddz = qz - _roll_x(cz, dx)
+                                ddz = qz - winr[zi, xi, 2, k2, dy:dy + 8, :]
                                 r2 = r2 + ddz * ddz
                             d = jnp.maximum(h2 - r2, 0.0)
                             acc = acc + d * d * d
@@ -169,55 +173,68 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
         ctr = len(dzs) // 2
 
         def q_loop(k1, _):
-            qx = win[ctr, 0, k1, 1:9, :]
-            qy = win[ctr, 1, k1, 1:9, :]
-            qz = win[ctr, 2, k1, 1:9, :]
-            qvx = win[ctr, 3, k1, 1:9, :]
-            qvy = win[ctr, 4, k1, 1:9, :]
-            qvz = win[ctr, 5, k1, 1:9, :]
-            qp = win[ctr, 6, k1, 1:9, :]
-            qir = win[ctr, 7, k1, 1:9, :]
+            # Roll the QUERY by +dx and compute each x-offset's pairs in the
+            # candidate frame, rolling the per-dx accumulators back at the
+            # end: 22 lane-rolls per rank instead of 8 fields x every
+            # (dz,k2,dy,dx) candidate tile (~50x fewer rolls).
+            q0 = [win[ctr, j, k1, 1:9, :] for j in range(8)]
+            qv = {0: q0,
+                  -1: [pltpu.roll(t, LANES - 1, axis=1) for t in q0],
+                  1: [pltpu.roll(t, 1, axis=1) for t in q0]}
             z = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
-            ax, ay, az = z, z, z
+            acc = {dx: (z, z, z) for dx in (-1, 0, 1)}
+
+            def pair(qf, cand, a3):
+                qx, qy, qz_, qvx, qvy, qvz, qp, qir = qf
+                cx, cy, cz, cvx, cvy, cvz, cp, cir = cand
+                ax, ay, az = a3
+                ddx = qx - cx
+                ddy = qy - cy
+                r2 = ddx * ddx + ddy * ddy
+                if params.dim == 3:
+                    ddz = qz_ - cz
+                    r2 = r2 + ddz * ddz
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-16))
+                r = r2 * inv_r
+                hr = jnp.maximum(h - r, 0.0)
+                hr = jnp.where(r2 > 1e-14, hr, 0.0)   # drop self/degenerate
+                # pressure: -m (pa+pb) g(r)/r * d  (g<0 folded into m_spiky)
+                coef_p = (m_spiky * (qp + cp)) * (hr * hr * inv_r)
+                # viscosity: mu m (vb-va) ira irb lap(r)
+                coef_v = (m_visc * hr) * (qir * cir)
+                ax = ax + coef_p * ddx + coef_v * (cvx - qvx)
+                ay = ay + coef_p * ddy + coef_v * (cvy - qvy)
+                if params.dim == 3:
+                    az = az + coef_p * ddz + coef_v * (cvz - qvz)
+                return ax, ay, az
 
             for zi, dz in enumerate(dzs):
                 occ_c = occ_s_ref[bidx * 3 + dz]
 
-                def c_loop(k2, a3):
-                    ax, ay, az = a3
+                def c_loop(k2, accs):
+                    am, a0, ap = accs
                     for dy in (0, 1, 2):
-                        f = [win[zi, j, k2, dy:dy + 8, :] for j in range(8)]
-                        for dx in (-1, 0, 1):
-                            cx, cy, cz, cvx, cvy, cvz, cp, cir = (
-                                _roll_x(t, dx) for t in f)
-                            ddx = qx - cx
-                            ddy = qy - cy
-                            r2 = ddx * ddx + ddy * ddy
-                            if params.dim == 3:
-                                ddz = qz - cz
-                                r2 = r2 + ddz * ddz
-                            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-16))
-                            r = r2 * inv_r
-                            hr = jnp.maximum(h - r, 0.0)
-                            # zero out self/degenerate pairs
-                            hr = jnp.where(r2 > 1e-14, hr, 0.0)
-                            # pressure: -m (pa+pb) g(r)/r * d  (g<0 folded
-                            # into m_spiky so coef>0 pushes apart)
-                            coef_p = (m_spiky * (qp + cp)) * (hr * hr * inv_r)
-                            ax = ax + coef_p * ddx
-                            ay = ay + coef_p * ddy
-                            # viscosity: mu m (vb-va) ira irb lap(r)
-                            coef_v = (m_visc * hr) * (qir * cir)
-                            ax = ax + coef_v * (cvx - qvx)
-                            ay = ay + coef_v * (cvy - qvy)
-                            if params.dim == 3:
-                                az = az + coef_p * ddz + coef_v * (cvz - qvz)
-                    return ax, ay, az
+                        cand = [win[zi, j, k2, dy:dy + 8, :]
+                                for j in range(8)]
+                        am = pair(qv[-1], cand, am)
+                        a0 = pair(qv[0], cand, a0)
+                        ap = pair(qv[1], cand, ap)
+                    return am, a0, ap
 
-                ax, ay, az = jax.lax.fori_loop(0, occ_c, c_loop, (ax, ay, az))
-            acc_ref[0, k1, 0, 0, :, :] = ax
-            acc_ref[1, k1, 0, 0, :, :] = ay
-            acc_ref[2, k1, 0, 0, :, :] = az
+                accs = (acc[-1], acc[0], acc[1])
+                accs = jax.lax.fori_loop(0, occ_c, c_loop, accs)
+                acc = {-1: accs[0], 0: accs[1], 1: accs[2]}
+
+            # roll per-dx accumulators back into the query frame:
+            # s computed at lane l belongs to query lane l - dx
+            out = list(acc[0])
+            for dx in (-1, 1):
+                shift = (-dx) % LANES
+                for c in range(3):
+                    out[c] = out[c] + pltpu.roll(acc[dx][c], shift, axis=1)
+            acc_ref[0, k1, 0, 0, :, :] = out[0]
+            acc_ref[1, k1, 0, 0, :, :] = out[1]
+            acc_ref[2, k1, 0, 0, :, :] = out[2]
             return 0
 
         jax.lax.fori_loop(0, occ_q, q_loop, 0)
@@ -285,9 +302,13 @@ def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
             (geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
             lambda *ids: _out_index(geom, 0)(*ids[:geom.dim]),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM(
-            (n_dz, pm.N_POS_FIELDS, geom.k, ROWS_PER_BLOCK + 2, LANES),
-            jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n_dz, pm.N_POS_FIELDS, geom.k,
+                        ROWS_PER_BLOCK + 2, LANES), jnp.float32),
+            # pre-rolled windows: [zi, xi] = window shifted by dx = xi - 1
+            pltpu.VMEM((n_dz, 3, pm.N_POS_FIELDS, geom.k,
+                        ROWS_PER_BLOCK + 2, LANES), jnp.float32),
+        ],
     )
     kernel = functools.partial(_density_kernel, params=params, geom=geom)
     n_copies = len(in_specs)
@@ -374,15 +395,22 @@ def step_pallas(pos, vel, ids, params: SimParams, *,
         fields = exchange(fields, n_pos_fields=pm.N_POS_FIELDS)
     acc_p = accel_planes(fields, occ_q, occ_s, params, geom)
 
-    # gather per (sorted) particle: acc (3), rho, pres
-    stack = jnp.concatenate([acc_p, rho_p[None], pres_p[None]], axis=0)
-    out = pm.gather_slots(stack, table.slot, table.ok, 0.0)   # (N, 5)
+    # gather per (sorted) particle: acc (3) [+ rho, pres diagnostics]
+    if params.diagnostics:
+        stack = jnp.concatenate([acc_p, rho_p[None], pres_p[None]], axis=0)
+    else:
+        stack = acc_p
+    out = pm.gather_slots(stack, table.slot, table.ok, 0.0)
     grav = jnp.asarray(params.gravity + (0.0,) * (3 - params.dim),
                        jnp.float32)
     acc = out[:, :3] + grav                 # dropped rows: 0 + grav = grav
     acc = acc[:, :params.dim]
-    rho = jnp.where(table.ok, out[:, 3], params.rest_density)
-    pres = jnp.where(table.ok, out[:, 4], 0.0)
+    if params.diagnostics:
+        rho = jnp.where(table.ok, out[:, 3], params.rest_density)
+        pres = jnp.where(table.ok, out[:, 4], 0.0)
+    else:
+        rho = jnp.full(acc.shape[:1], params.rest_density, jnp.float32)
+        pres = jnp.zeros(acc.shape[:1], jnp.float32)
 
     if active is not None:
         active_s = table.ids_s >= 0

@@ -168,16 +168,20 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     # (~16N) — scatters win ~3x here.  Empty-slot encoding: positions hold
     # SENTINEL, velocities 0.
     dim = params.dim
-    zero = jnp.zeros((n,), jnp.float32)
+    # None = an all-zero field: built without a scatter (each scatter costs
+    # ~6ms/1M updates; 2D saves two of six this way)
     fields = [pos_s[:, 0], pos_s[:, 1],
-              pos_s[:, 2] if dim == 3 else zero,
+              pos_s[:, 2] if dim == 3 else None,
               vel_s[:, 0], vel_s[:, 1],
-              vel_s[:, 2] if dim == 3 else zero]
+              vel_s[:, 2] if dim == 3 else None]
     f = len(fields)
 
     def plane(fld, fill):
-        flat = jnp.full((k * cells,), fill, jnp.float32).at[slot].set(
-            fld, mode="drop")
+        if fld is None:
+            flat = jnp.zeros((k * cells,), jnp.float32)
+        else:
+            flat = jnp.full((k * cells,), fill, jnp.float32).at[slot].set(
+                fld, mode="drop")
         return flat.reshape(k, geom.pz, geom.n_bx, geom.py, LANES)
 
     planes = jnp.stack(
