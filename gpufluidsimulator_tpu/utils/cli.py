@@ -41,6 +41,9 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cell-capacity", type=int, default=None)
     p.add_argument("--method", default="auto",
                    choices=["auto", "naive", "gridded", "pallas"])
+    p.add_argument("--sharded", action="store_true",
+                   help="spatial sharding over all visible devices "
+                        "(shard_map + ppermute ghost exchange)")
 
 
 def _build_scene(args):
@@ -76,7 +79,27 @@ def cmd_run(args) -> int:
     else:
         params, state = _build_scene(args)
         start = 0
-    sim = FluidSim(params, state, method=args.method)
+    if args.sharded:
+        import jax
+        from ..parallel.sharded import ShardedSim
+
+        class _Adapter:
+            """Expose a ShardedSim through the FluidSim step/state API."""
+
+            def __init__(self, params, state):
+                self._sim = ShardedSim(params, state)
+                self.method = (f"sharded-pallas x"
+                               f"{self._sim.mesh.devices.size}")
+                self.state = state
+
+            def step(self, n):
+                self._sim.step(n)
+                self.state = self._sim.gather()
+                return self.state
+
+        sim = _Adapter(params, state)
+    else:
+        sim = FluidSim(params, state, method=args.method)
     mets = metrics.RunMetrics(params, state.n, sim.method)
     print(f"scene={args.scene} N={state.n} dim={params.dim} "
           f"h={params.h:.4g} dt={params.dt:.3g} method={sim.method}")
