@@ -145,11 +145,19 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     cid = cell_linear_parts(pos, params, geom, x_origin)
     if active is not None:
         cid = jnp.where(active, cid, cells)     # one-past-the-end "cell"
-    order = jnp.argsort(cid, stable=True)
-    cid_sorted = cid[order]
-    pos_s = pos[order]
-    vel_s = vel[order]
-    ids_s = ids[order]
+    # ONE multi-operand sort carries every field along with the key: ~15x
+    # cheaper than argsort + permutation gathers on TPU (measured 1.5ms vs
+    # 22ms @1M — gathers cost ~15-23ns/element, the sort network is native)
+    dim = params.dim
+    operands = (cid,) + tuple(pos[:, j] for j in range(dim)) \
+        + tuple(vel[:, j] for j in range(dim)) + (ids,)
+    out = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    cid_sorted = out[0]
+    pos_cols = out[1:1 + dim]
+    vel_cols = out[1 + dim:1 + 2 * dim]
+    ids_s = out[-1]
+    pos_s = jnp.stack(pos_cols, axis=-1)
+    vel_s = jnp.stack(vel_cols, axis=-1)
     # rank within cell: position minus the index where this cell's run began
     # (an O(N) cummax instead of searchsorted: binary search is 20 dependent
     # gathers per particle on TPU, the scan is one pass)
@@ -167,21 +175,22 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     # (~6ms/1M updates) while any slot-indexed gather scales with K*cells
     # (~16N) — scatters win ~3x here.  Empty-slot encoding: positions hold
     # SENTINEL, velocities 0.
-    dim = params.dim
     # None = an all-zero field: built without a scatter (each scatter costs
     # ~6ms/1M updates; 2D saves two of six this way)
-    fields = [pos_s[:, 0], pos_s[:, 1],
-              pos_s[:, 2] if dim == 3 else None,
-              vel_s[:, 0], vel_s[:, 1],
-              vel_s[:, 2] if dim == 3 else None]
+    fields = [pos_cols[0], pos_cols[1],
+              pos_cols[2] if dim == 3 else None,
+              vel_cols[0], vel_cols[1],
+              vel_cols[2] if dim == 3 else None]
     f = len(fields)
 
     def plane(fld, fill):
         if fld is None:
             flat = jnp.zeros((k * cells,), jnp.float32)
         else:
+            # slot is strictly increasing over valid entries and unique
             flat = jnp.full((k * cells,), fill, jnp.float32).at[slot].set(
-                fld, mode="drop")
+                fld, mode="drop", unique_indices=True,
+                indices_are_sorted=False)
         return flat.reshape(k, geom.pz, geom.n_bx, geom.py, LANES)
 
     planes = jnp.stack(
