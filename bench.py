@@ -23,6 +23,8 @@ BASELINE_TARGET = 1.0e9  # particle-steps/sec/chip @1M (BASELINE.json)
 
 
 def main() -> None:
+    from gpufluidsimulator_tpu.utils.cache import enable as _enable_cache
+    _enable_cache()
     from gpufluidsimulator_tpu import scenes
     from gpufluidsimulator_tpu.models import solver
     from gpufluidsimulator_tpu.utils.profiling import slope_time

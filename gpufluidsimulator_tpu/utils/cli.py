@@ -170,6 +170,8 @@ def cmd_render(args) -> int:
 
 def main(argv=None) -> int:
     logging.basicConfig(level=os.environ.get("FLUID_LOGLEVEL", "WARNING"))
+    from .cache import enable as _enable_cache
+    _enable_cache()
     ap = argparse.ArgumentParser(
         prog="python -m gpufluidsimulator_tpu",
         description="TPU-native SPH fluid simulation framework")

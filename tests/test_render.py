@@ -75,3 +75,21 @@ def test_golden_frame_deterministic(tmp_path):
     ha = hashlib.sha256(open(a, "rb").read()).hexdigest()
     hb = hashlib.sha256(open(b, "rb").read()).hexdigest()
     assert ha == hb
+
+
+def test_golden_frame_committed():
+    """SURVEY.md §4.6: rasterizer output hashed against a committed golden
+    image (CPU backend; regenerate with the snippet in tests/golden/ if the
+    physics or renderer changes intentionally)."""
+    import os
+    from gpufluidsimulator_tpu import run
+    golden_dir = os.path.join(os.path.dirname(__file__), "golden")
+    want = open(os.path.join(golden_dir,
+                             "dam_break_2d_400.sha256")).read().strip()
+    params, state = scenes.dam_break(n=1500, dim=2)
+    st = run(state, params, 400, method="naive")
+    img = render.tonemap(render.render_frame(st, params, width=256,
+                                             height=256))
+    got = hashlib.sha256(img.tobytes()).hexdigest()
+    assert got == want, (
+        "rendered frame diverged from tests/golden/dam_break_2d_400.png")
