@@ -161,11 +161,10 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     bidx = (bz * geom.n_bx + bx) * geom.n_by + by
     occ_q = occ_q_ref[bidx]
 
+    # NOTE: the -m*spiky_grad_coef and m*viscosity*visc_lap_coef constants
+    # are pre-folded into the pr2/irho planes by step_pallas (one multiply
+    # per slot instead of one per pair-tile)
     h = jnp.float32(params.h)
-    m_spiky = jnp.float32(-kernels.spiky_grad_coef(params.h, params.dim)
-                          * params.particle_mass)
-    m_visc = jnp.float32(kernels.visc_lap_coef(params.h, params.dim)
-                         * params.particle_mass * params.viscosity)
 
     @pl.when(occ_q > 0)
     def _():
@@ -198,10 +197,12 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 r = r2 * inv_r
                 hr = jnp.maximum(h - r, 0.0)
                 hr = jnp.where(r2 > 1e-14, hr, 0.0)   # drop self/degenerate
-                # pressure: -m (pa+pb) g(r)/r * d  (g<0 folded into m_spiky)
-                coef_p = (m_spiky * (qp + cp)) * (hr * hr * inv_r)
-                # viscosity: mu m (vb-va) ira irb lap(r)
-                coef_v = (m_visc * hr) * (qir * cir)
+                # pressure: -m (pa+pb) g(r)/r * d  (constants pre-folded
+                # into the pr2 plane)
+                coef_p = (qp + cp) * (hr * hr * inv_r)
+                # viscosity: mu m (vb-va) ira irb lap(r)  (constants folded
+                # into the irho plane as sqrt factors)
+                coef_v = hr * (qir * cir)
                 ax = ax + coef_p * ddx + coef_v * (cvx - qvx)
                 ay = ay + coef_p * ddy + coef_v * (cvy - qvy)
                 if params.dim == 3:
@@ -383,9 +384,16 @@ def step_pallas(pos, vel, ids, params: SimParams, *,
     rho_p = jnp.maximum(rho_p, 1e-3 * params.rest_density)
     pres_p = physics.eos_pressure(rho_p, params)
     # halo lanes hold edge-truncated densities from the kernel; refresh them
-    # from the owning tile before the force sweep reads them as candidates
-    pr2_p = pm.halo_x(pres_p / (rho_p * rho_p))
-    irho_p = pm.halo_x(1.0 / rho_p)
+    # from the owning tile before the force sweep reads them as candidates.
+    # Kernel constants are folded in here: one multiply per SLOT instead of
+    # one per pair-tile inside the sweep.
+    import math
+    m_spiky = float(-kernels.spiky_grad_coef(params.h, params.dim)
+                    * params.particle_mass)
+    m_visc_sqrt = math.sqrt(kernels.visc_lap_coef(params.h, params.dim)
+                            * params.particle_mass * params.viscosity)
+    pr2_p = pm.halo_x(m_spiky * pres_p / (rho_p * rho_p))
+    irho_p = pm.halo_x(m_visc_sqrt / rho_p)
 
     fields = jnp.concatenate(
         [planes, pr2_p[None], irho_p[None]], axis=0)
