@@ -92,8 +92,11 @@ def rollout(state: State, params: SimParams, n_steps: int,
             method: str = "auto", record_every: int = 1):
     """Like ``run`` but stacks recorded states: returns (final, traj).
 
-    traj.pos has shape (n_steps//record_every, N, dim) — used by the renderer
-    and the trajectory-comparison tests.
+    traj has shape (n_steps//record_every, N, dim) — position snapshots for
+    rendering/export.  NOTE: the pallas path keeps particles cell-sorted, so
+    row i of different frames may be different particles; snapshots are
+    set-valued (fine for rasterization/statistics).  For per-particle
+    trajectories run stepwise and re-align by ``State.ids``.
     """
     method = resolve_method(method, state.n)
     return _rollout_scan(state, params, n_steps, method, record_every)

@@ -69,11 +69,18 @@ def migrate(pos, vel, ids, x_origin, width, m_cap: int, n_dev: int):
     x = pos[:, 0]
     go_l = active & (x < x_origin)
     go_r = active & (x >= x_origin + width)
-    # group: stayers(0) < leavers-left(1) < leavers-right(2) < inactive(3)
+    # group: stayers(0) < leavers-left(1) < leavers-right(2) < inactive(3);
+    # one multi-operand sort carries the fields (15x cheaper than argsort +
+    # permutation gathers on TPU, see ops/planes.build_planes)
     key = (go_l.astype(jnp.int32) + 2 * go_r.astype(jnp.int32)
            + jnp.where(active, 0, 3))
-    order = jnp.argsort(key, stable=True)
-    pos, vel, ids, key = pos[order], vel[order], ids[order], key[order]
+    ops = ((key,) + tuple(pos[:, j] for j in range(d))
+           + tuple(vel[:, j] for j in range(d)) + (ids,))
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    key = out[0]
+    pos = jnp.stack(out[1:1 + d], axis=-1)
+    vel = jnp.stack(out[1 + d:1 + 2 * d], axis=-1)
+    ids = out[-1]
 
     n_stay = jnp.sum(key == 0)
     n_l = jnp.sum(key == 1)
