@@ -403,12 +403,17 @@ def step_pallas(pos, vel, ids, params: SimParams, *,
         fields = exchange(fields, n_pos_fields=pm.N_POS_FIELDS)
     acc_p = accel_planes(fields, occ_q, occ_s, params, geom)
 
-    # gather per (sorted) particle: acc (3) [+ rho, pres diagnostics]
+    # per-particle values out of the planes: acc (3) [+ rho, pres
+    # diagnostics] via the inverse routing network (ops/route) — XLA
+    # gathers cost 10-23ns/element here
+    from . import route
     if params.diagnostics:
         stack = jnp.concatenate([acc_p, rho_p[None], pres_p[None]], axis=0)
     else:
         stack = acc_p
-    out = pm.gather_slots(stack, table.slot, table.ok, 0.0)
+    out = route.extract_per_particle(stack, table.shifts, table.slot,
+                                     table.starts, geom)
+    out = jnp.where(table.ok[:, None], out, 0.0)
     grav = jnp.asarray(params.gravity + (0.0,) * (3 - params.dim),
                        jnp.float32)
     acc = out[:, :3] + grav                 # dropped rows: 0 + grav = grav

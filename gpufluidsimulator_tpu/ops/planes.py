@@ -62,6 +62,7 @@ def geometry(params: SimParams) -> PlaneGeom:
     n_bx = -(-nx // TILE_X)
     n_by = -(-(ny + 2) // ROWS_PER_BLOCK)        # interior + 1-cell halo
     py = (1 + n_by + 1) * ROWS_PER_BLOCK         # one ghost block each side
+    py = -(-py // 64) * 64   # routing tiles span 64 y-rows (ops/route.py)
     pz = nz + 2 if params.dim == 3 else 1
     return PlaneGeom(dim=params.dim, k=params.cell_capacity,
                      nx=nx, ny=ny, nz=nz, n_bx=n_bx, py=py, pz=pz,
@@ -118,9 +119,12 @@ class PlaneTable(NamedTuple):
     slot: jnp.ndarray         # (N,) int32 flat slot k*cells + cell of the
                               #   SORTED particle i; k*cells when dropped
     ok: jnp.ndarray           # (N,) bool: sorted particle landed in a slot
-    pos_s: jnp.ndarray        # (N, d) cell-sorted positions
-    vel_s: jnp.ndarray        # (N, d) cell-sorted velocities
-    ids_s: jnp.ndarray        # (N,)   cell-sorted particle identities
+    pos_s: jnp.ndarray        # (N, d) slot-sorted positions
+    vel_s: jnp.ndarray        # (N, d) slot-sorted velocities
+    ids_s: jnp.ndarray        # (N,)   slot-sorted particle identities
+    shifts: jnp.ndarray       # (K, pz, n_bx, py, 128) routing shifts
+                              #   (route.extract inverse; -1 = empty slot)
+    starts: jnp.ndarray       # (n_tiles+1,) int32 particles per routing tile
     overflow: jnp.ndarray     # ()  int32
 
 
@@ -145,19 +149,14 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     cid = cell_linear_parts(pos, params, geom, x_origin)
     if active is not None:
         cid = jnp.where(active, cid, cells)     # one-past-the-end "cell"
-    # ONE multi-operand sort carries every field along with the key: ~15x
-    # cheaper than argsort + permutation gathers on TPU (measured 1.5ms vs
-    # 22ms @1M — gathers cost ~15-23ns/element, the sort network is native)
+    # Sort #1 by cell id — ONE multi-operand sort carries every field along
+    # with the key: ~15x cheaper than argsort + permutation gathers on TPU
+    # (gathers cost 10-23ns/element; the sort network is native).
     dim = params.dim
     operands = (cid,) + tuple(pos[:, j] for j in range(dim)) \
         + tuple(vel[:, j] for j in range(dim)) + (ids,)
     out = jax.lax.sort(operands, num_keys=1, is_stable=True)
     cid_sorted = out[0]
-    pos_cols = out[1:1 + dim]
-    vel_cols = out[1 + dim:1 + 2 * dim]
-    ids_s = out[-1]
-    pos_s = jnp.stack(pos_cols, axis=-1)
-    vel_s = jnp.stack(vel_cols, axis=-1)
     # rank within cell: position minus the index where this cell's run began
     # (an O(N) cummax instead of searchsorted: binary search is 20 dependent
     # gathers per particle on TPU, the scan is one pass)
@@ -167,40 +166,50 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
         jnp.where(cid_sorted[1:] != cid_sorted[:-1], idx[1:], 0)])
     rank = idx - jax.lax.associative_scan(jnp.maximum, run_start)
     in_domain = cid_sorted < cells
-    ok = (rank < k) & in_domain
-    overflow = jnp.sum(~ok & in_domain).astype(jnp.int32)
-    slot = jnp.where(ok, rank * cells + cid_sorted, k * cells)
+    ok1 = (rank < k) & in_domain
+    overflow = jnp.sum(~ok1 & in_domain).astype(jnp.int32)
+    slot1 = jnp.where(ok1, rank * cells + cid_sorted, k * cells)
 
-    # Field planes by per-field f32 scatter: scatter cost scales with N
-    # (~6ms/1M updates) while any slot-indexed gather scales with K*cells
-    # (~16N) — scatters win ~3x here.  Empty-slot encoding: positions hold
-    # SENTINEL, velocities 0.
-    # None = an all-zero field: built without a scatter (each scatter costs
-    # ~6ms/1M updates; 2D saves two of six this way)
-    fields = [pos_cols[0], pos_cols[1],
-              pos_cols[2] if dim == 3 else None,
-              vel_cols[0], vel_cols[1],
-              vel_cols[2] if dim == 3 else None]
-    f = len(fields)
+    # Sort #2 by the rank-major SLOT itself: destination addresses become
+    # strictly increasing along the particle order, which makes placement a
+    # monotone expansion — routed by ops/route.place in pure VPU work
+    # instead of element-at-a-time scatters (~5.7ns/update on this chip).
+    out2 = jax.lax.sort((slot1,) + out[1:], num_keys=1, is_stable=True)
+    slot = out2[0]
+    pos_cols = out2[1:1 + dim]
+    vel_cols = out2[1 + dim:1 + 2 * dim]
+    ids_s = out2[-1]
+    pos_s = jnp.stack(pos_cols, axis=-1)
+    vel_s = jnp.stack(vel_cols, axis=-1)
+    ok = slot < k * cells
 
-    def plane(fld, fill):
-        if fld is None:
-            flat = jnp.zeros((k * cells,), jnp.float32)
-        else:
-            # slot is strictly increasing over valid entries and unique
-            flat = jnp.full((k * cells,), fill, jnp.float32).at[slot].set(
-                fld, mode="drop", unique_indices=True,
-                indices_are_sorted=False)
-        return flat.reshape(k, geom.pz, geom.n_bx, geom.py, LANES)
+    from . import route
+    rows = route.pad_rows(n)
+    pad_len = rows * LANES - n
 
-    planes = jnp.stack(
-        [plane(fld, SENTINEL if i < N_POS_FIELDS else 0.0)
-         for i, fld in enumerate(fields)], axis=0)
+    def pad2d(a, fill):
+        return jnp.pad(a, (0, pad_len),
+                       constant_values=fill).reshape(rows, LANES)
+
+    fields2d = [pad2d(c, 0.0) for c in pos_cols + vel_cols]
+    slot2d = pad2d(slot, k * cells + route.LOCAL)
+    bases = jnp.arange(route.n_tiles(geom) + 1, dtype=jnp.int32) * route.TILE
+    starts = jnp.searchsorted(slot, bases).astype(jnp.int32)
+    stack = route.place(fields2d, slot2d, starts, geom, n_pos=dim)
+
+    if dim == 3:
+        planes = stack[:6]
+        shifts = stack[6]
+    else:
+        zero = jnp.zeros_like(stack[0])[None]
+        planes = jnp.concatenate(
+            [stack[0:2], zero, stack[2:4], zero], axis=0)
+        shifts = stack[4]
     planes = halo_x(planes)
 
     return PlaneTable(planes=planes, slot=slot, ok=ok,
                       pos_s=pos_s, vel_s=vel_s, ids_s=ids_s,
-                      overflow=overflow)
+                      shifts=shifts, starts=starts, overflow=overflow)
 
 
 def occupancy_bounds(planes, params: SimParams, geom: PlaneGeom):

@@ -1,0 +1,467 @@
+"""Monotone butterfly routing: sorted particles -> rank planes without
+scatters (and, inversely, per-particle values out of planes without gathers).
+
+Motivation (measured, BASELINE.md): XLA scatter costs ~5.7ns/update and
+gather 10-23ns/element on this chip — the 6 plane scatters + 3 accel gathers
+were ~64ms of the 99ms step @1M.  But after sorting particles by their
+destination slot (rank-major: slot = rank*cells + cell), placement is a
+MONOTONE EXPANSION: targets are strictly increasing, so shifts
+s_i = target_i - i are non-negative and non-decreasing.  A classic
+distribution network routes any monotone expansion CONFLICT-FREE with
+MSB-first butterfly stages:
+
+    for b = hi..0:  elements with bit b of remaining shift set move +2^b
+
+(proof: after bits hi..b, position p_i = i + 2^b*floor(s_i/2^b); for i < j,
+p_j - p_i >= j - i > 0 — positions stay distinct at every stage).  Each
+stage is a vector roll + selects, so a tile of 8192 slots routes in 14
+stages of pure VPU work in VMEM — ~50x cheaper than element-at-a-time
+scatter.  The inverse network (LSB-first, moving left by the same bits)
+un-places values for the extraction path (ops/route_extract).
+
+Tiles are 8192 consecutive rank-major slots = one rank x 64 y-rows x 128
+lanes, which is exactly 8 sweep-kernel blocks, so the placement kernel's
+output blocks coincide with the sweep kernels' input blocks.  Prototype
+validated in NumPy over 300 randomized trials (forward + inverse).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.params import SimParams
+from . import planes as pm
+from .planes import LANES, PlaneGeom
+
+TILE = 8192                 # slots per routing tile (64 sublane-rows x 128)
+LOCAL = 16384               # local routing space (128 rows x 128 lanes)
+ROWS = LOCAL // LANES       # 128
+OUT_ROWS = TILE // LANES    # 64
+PAD_ROWS = OUT_ROWS + 1     # 65 DMA rows cover any 8192-particle window
+N_BITS = 14                 # shifts < LOCAL
+
+
+def n_tiles(geom: PlaneGeom) -> int:
+    assert geom.cells % TILE == 0, geom
+    return geom.k * geom.cells // TILE
+
+
+def pad_rows(n: int) -> int:
+    """Rows of the padded (rows, 128) particle views the kernels DMA from."""
+    return -(-(n + LOCAL) // LANES)
+
+
+def _flat_pos():
+    return (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+
+
+def _flat_roll(x, d: int):
+    """Roll a (ROWS, 128) tile by +d in flattened row-major order."""
+    q, s = divmod(d, LANES)
+    if s == 0:
+        return pltpu.roll(x, q % ROWS, axis=0)
+    a = pltpu.roll(x, s, axis=1)
+    hi = pltpu.roll(a, q + 1, axis=0)
+    lo = pltpu.roll(a, q, axis=0) if q else a
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    return jnp.where(lane < s, hi, lo)
+
+
+def route_fwd(fields, shift, flag):
+    """MSB-first monotone expansion in (ROWS, 128) local flat space.
+
+    fields: list of f32 tiles; shift: i32 remaining shift; flag: f32 0/1.
+    Returns (routed fields, routed flag).
+    """
+    pos = _flat_pos()
+    for b in range(N_BITS - 1, -1, -1):
+        d = 1 << b
+        move = (flag > 0.5) & (((shift >> b) & 1) == 1)
+        movef = move.astype(jnp.float32)
+        arrive = (_flat_roll(movef, d) > 0.5) & (pos >= d)
+        fields = [jnp.where(arrive, _flat_roll(x, d),
+                            jnp.where(move, 0.0, x)) for x in fields]
+        shift = jnp.where(arrive, _flat_roll(shift, d) - d,
+                          jnp.where(move, 0, shift))
+        flag = jnp.where(arrive, 1.0, jnp.where(move, 0.0, flag))
+    return fields, flag
+
+
+def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
+                      n_pos: int):
+    """One routing tile: DMA the slot-sorted particle slice, butterfly-route
+    it onto its slots, write the plane block (+ shift channel)."""
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    m = starts_ref[t + 1] - start
+    row0 = start // LANES
+    o = start - row0 * LANES                          # in [0, 128)
+
+    f_refs = refs[:n_fields]                          # (rows,128) f32 each
+    slot_ref = refs[n_fields]                         # (rows,128) i32
+    out_ref = refs[n_fields + 1]                      # (F+1,1,1,1,64,128)
+    fscr = refs[n_fields + 2]                         # (F, ROWS, 128) f32
+    sscr = refs[n_fields + 3]                         # (ROWS, 128) i32
+    sems = refs[n_fields + 4]                         # DMA sems (F+1,)
+
+    def dma(i):
+        if i < n_fields:
+            return pltpu.make_async_copy(
+                f_refs[i].at[pl.ds(row0, PAD_ROWS), :],
+                fscr.at[i, pl.ds(0, PAD_ROWS), :], sems.at[i])
+        return pltpu.make_async_copy(
+            slot_ref.at[pl.ds(row0, PAD_ROWS), :],
+            sscr.at[pl.ds(0, PAD_ROWS), :], sems.at[n_fields])
+
+    for i in range(n_fields + 1):
+        dma(i).start()
+    for i in range(n_fields + 1):
+        dma(i).wait()
+
+    pos = _flat_pos()
+    valid = (pos >= o) & (pos < o + m)
+    tile_base = t * TILE
+    # local target = (slot - tile_base) + 128; shift = target - position
+    target = sscr[...] - tile_base + LANES
+    shift = jnp.where(valid, target - pos, 0)
+    flag = valid.astype(jnp.float32)
+
+    fields = [fscr[i] for i in range(n_fields)]
+    routed, flag_r = route_fwd(fields + [pos.astype(jnp.float32)],
+                               shift, flag)
+    filled = flag_r > 0.5
+    for i in range(n_fields):
+        fill = pm.SENTINEL if i < n_pos else 0.0
+        val = jnp.where(filled, routed[i], fill)
+        out_ref[i, 0, 0, 0, :, :] = val[1:1 + OUT_ROWS, :]
+    # shift channel: routed position - original position; -1 where empty
+    total_shift = jnp.where(filled,
+                            pos.astype(jnp.float32) - routed[n_fields], -1.0)
+    out_ref[n_fields, 0, 0, 0, :, :] = total_shift[1:1 + OUT_ROWS, :]
+
+
+def tile_index_map(geom: PlaneGeom, lead_zeros: int = 1):
+    """Routing-tile t -> plane block index (k, z, xo, y64)."""
+    tpr = geom.cells // TILE
+    y64 = geom.py // 64
+
+    def imap(t, *_):
+        k = t // tpr
+        r = t % tpr
+        zxo = r // y64
+        y = r % y64
+        z = zxo // geom.n_bx
+        xo = zxo % geom.n_bx
+        return (0,) * lead_zeros + (k, z, xo, y, 0)
+
+    return imap
+
+
+def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
+          n_pos: int = pm.N_POS_FIELDS, use_kernel=None):
+    """Route slot-sorted particles into rank-major planes.
+
+    fields_sorted: F arrays (rows, 128) f32 (slot-sorted particle fields,
+    padded; see pad_rows); slot_sorted: (rows, 128) int32 rank-major slot per
+    particle (>= K*cells for dropped/inactive); starts: (n_tiles+1,) int32
+    particle offsets per tile.  Returns an (F+1, K, pz, n_bx, py, 128) stack:
+    F field planes + the routing-shift channel consumed by the inverse.
+    """
+    nf = len(fields_sorted)
+    nt = n_tiles(geom)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (nf + 1),
+        out_specs=pl.BlockSpec(
+            (nf + 1, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nf, ROWS, LANES), jnp.float32),
+            pltpu.VMEM((ROWS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((nf + 1,)),
+        ],
+    )
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
+        return _place_jnp(fields_sorted, slot_sorted, starts, geom, n_pos)
+    kernel = functools.partial(_placement_kernel, geom=geom, n_fields=nf,
+                               n_pos=n_pos)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (nf + 1, geom.k, geom.pz, geom.n_bx, geom.py, LANES),
+            jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(starts, *fields_sorted, slot_sorted)
+
+
+# ---------------------------------------------------------------------------
+# inverse: planes -> per-particle values (replaces XLA gathers)
+# ---------------------------------------------------------------------------
+
+def route_bwd(fields, shift, flag):
+    """Inverse of route_fwd: LSB-first, moving left by the set bits of the
+    TOTAL shift (which stays attached to its element throughout)."""
+    pos = _flat_pos()
+    for b in range(N_BITS):
+        d = 1 << b
+        move = (flag > 0.5) & (((shift >> b) & 1) == 1)
+        movef = move.astype(jnp.float32)
+        back = LOCAL - d
+        arrive = (_flat_roll(movef, back) > 0.5) & (pos < LOCAL - d)
+        fields = [jnp.where(arrive, _flat_roll(x, back),
+                            jnp.where(move, 0.0, x)) for x in fields]
+        shift = jnp.where(arrive, _flat_roll(shift, back),
+                          jnp.where(move, 0, shift))
+        flag = jnp.where(arrive, 1.0, jnp.where(move, 0.0, flag))
+    return fields, flag
+
+
+def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,
+                    *, n_ch: int):
+    """Un-place one routing tile: values at slots -> the tile's slot-sorted
+    particle run, landed at local positions [o, o+m)."""
+    pos = _flat_pos()
+    zero_row = jnp.zeros((1, LANES), jnp.float32)
+    pad_lo = jnp.ones((1, LANES), jnp.float32)
+    del pad_lo
+
+    sh = shifts_ref[0, 0, 0, :, :]                    # (64, 128) f32
+    shift = jnp.concatenate(
+        [jnp.zeros((1, LANES), jnp.float32), sh,
+         jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)],
+        axis=0).astype(jnp.int32)
+    flag = jnp.concatenate(
+        [jnp.zeros((1, LANES), jnp.float32), (sh >= 0).astype(jnp.float32),
+         jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)], axis=0)
+
+    fields = []
+    for c in range(n_ch):
+        v = vals_ref[c, 0, 0, 0, :, :]
+        fields.append(jnp.concatenate(
+            [zero_row, v, jnp.zeros((ROWS - 1 - OUT_ROWS, LANES),
+                                    jnp.float32)], axis=0))
+
+    routed, flag_b = route_bwd(fields, jnp.maximum(shift, 0), flag)
+    for c in range(n_ch):
+        out_ref[0, c, :, :] = routed[c][:PAD_ROWS, :]
+
+
+def extract(value_stack, shifts, geom: PlaneGeom):
+    """(C, K, pz, n_bx, py, 128) slot values + routing shifts ->
+    (n_tiles, C, 65, 128) per-tile slot-sorted particle runs, where tile t's
+    run occupies flat positions [start_t % 128, start_t % 128 + m_t)."""
+    n_ch = value_stack.shape[0]
+    nt = n_tiles(geom)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((n_ch, 1, 1, 1, OUT_ROWS, LANES),
+                         tile_index_map(geom), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, OUT_ROWS, LANES),
+                         tile_index_map(geom, lead_zeros=0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_ch, PAD_ROWS, LANES),
+            lambda t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_extract_kernel, n_ch=n_ch)
+    starts_dummy = jnp.zeros((1,), jnp.int32)   # (unused; uniform signature)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, n_ch, PAD_ROWS, LANES),
+                                       jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(starts_dummy, value_stack, shifts)
+
+
+def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
+                   scr, sem, *, n_ch: int, nt: int):
+    """Assemble one 8192-particle output block from <= STITCH_C tile runs."""
+    b = pl.program_id(0)
+    p0 = b * TILE
+    accs = [jnp.zeros((OUT_ROWS, LANES), jnp.float32) for _ in range(n_ch)]
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1))
+
+    def body(c, accs):
+        t = jnp.minimum(tfirst_ref[b] + c, nt - 1)
+        s_t = starts_ref[t]
+        e_t = starts_ref[t + 1]
+        contributes = (s_t < p0 + TILE) & (e_t > p0) & (e_t > s_t)
+
+        def work(accs):
+            # strips_ref is 2D (nt*n_ch*PAD_ROWS, 128): DMAs of slices whose
+            # last two dims are (rows, 128) are the only reliably supported
+            # form (a 4D source with the 65-row middle dim faults the TPU)
+            def dma(ch):
+                return pltpu.make_async_copy(
+                    strips_ref.at[pl.ds((t * n_ch + ch) * PAD_ROWS,
+                                        PAD_ROWS), :],
+                    scr.at[ch], sem.at[ch])
+            for ch in range(n_ch):
+                dma(ch).start()
+            for ch in range(n_ch):
+                dma(ch).wait()
+            o_t = s_t % LANES
+            # out flat j corresponds to strip flat (j + off)
+            off = o_t + (p0 - s_t)
+            rot = (-off) % LOCAL
+            lane_rot = rot % LANES
+            row_rot = rot // LANES
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+            jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
+            new = []
+            for ch in range(n_ch):
+                x = jnp.concatenate(
+                    [scr[ch],
+                     jnp.zeros((ROWS - PAD_ROWS, LANES), jnp.float32)],
+                    axis=0)
+                a = pltpu.roll(x, lane_rot, axis=1)
+                hi = pltpu.roll(a, row_rot + 1, axis=0)
+                lo = pltpu.roll(a, row_rot, axis=0)
+                rotated = jnp.where(lane < lane_rot, hi, lo)[:OUT_ROWS, :]
+                new.append(jnp.where(jmask, rotated, accs[ch]))
+            return new
+
+        return jax.lax.cond(contributes, work, lambda a: list(a), accs)
+
+    # dynamic trip count: exactly the tiles this block's particles span
+    # (sparse high ranks can span many mostly-empty tiles; empty ones cost
+    # one skipped conditional each)
+    span = tlast_ref[b] - tfirst_ref[b] + 1
+    accs = jax.lax.fori_loop(0, span, body, accs)
+    for ch in range(n_ch):
+        out_ref[ch, 0, :, :] = accs[ch]
+
+
+def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
+    """(nt, C, 65, 128) tile runs -> (C, n_blocks*64, 128) compact
+    slot-sorted particle values."""
+    nt_, n_ch = strips.shape[0], strips.shape[1]
+    strips = strips.reshape(nt_ * n_ch * PAD_ROWS, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (n_ch, 1, OUT_ROWS, LANES), lambda b, *_: (0, 0, b, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_ch, PAD_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_ch,)),
+        ],
+    )
+    kernel = functools.partial(_stitch_kernel, n_ch=n_ch, nt=nt_)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_ch, n_blocks, OUT_ROWS, LANES),
+                                       jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(starts, tfirst, tlast, strips)
+    return out.reshape(n_ch, n_blocks * TILE)
+
+
+def extract_per_particle(value_stack, shifts, slot, starts,
+                         geom: PlaneGeom, use_kernel=None):
+    """Planes -> per-particle values in slot-sorted order, via the inverse
+    network + ragged stitch (dynamic tile spans; sparse high ranks just loop
+    over more, mostly-skipped, tiles).  Returns (N, C)."""
+    n = slot.shape[0]
+    n_ch = value_stack.shape[0]
+    n_blocks = -(-n // TILE)
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
+        # CPU backend: the XLA gather is fine on host; the kernels are pinned
+        # by tests/test_route.py in interpret mode
+        flat = value_stack.reshape(n_ch, -1)
+        idx = jnp.minimum(slot, flat.shape[1] - 1)
+        return jnp.stack([flat[c][idx] for c in range(n_ch)], axis=-1)
+
+    tile_of = jnp.minimum(slot // TILE, n_tiles(geom) - 1)
+    p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE
+    tfirst = tile_of[jnp.minimum(p0s, n - 1)]
+    tlast = tile_of[jnp.minimum(p0s + TILE - 1, n - 1)]
+
+    strips = extract(value_stack, shifts, geom)
+    flat = stitch(strips, starts, tfirst, tlast, n_blocks, geom)
+    return flat[:, :n].T
+
+
+# ---------------------------------------------------------------------------
+# batched-jnp reference implementations (CPU backend)
+# ---------------------------------------------------------------------------
+# The Pallas kernels interpret slowly on the CPU backend; these are the same
+# routing networks as vectorized jnp over all tiles at once (they'd be
+# HBM-bound on TPU — 14 stages x full slot space — but are fine on host).
+# tests/test_route.py pins kernel-vs-jnp equivalence in interpret mode.
+
+def _window_gather(flat, starts, fill):
+    nt = starts.shape[0] - 1
+    row0 = starts[:-1] // LANES
+    idx = row0[:, None] * LANES + jnp.arange(PAD_ROWS * LANES)[None, :]
+    w = flat[jnp.minimum(idx, flat.shape[0] - 1)]
+    pad = jnp.full((nt, LOCAL - PAD_ROWS * LANES), fill, w.dtype)
+    return jnp.concatenate([w, pad], axis=1)          # (nt, LOCAL)
+
+
+def _route_fwd_jnp(fields, shift, flag):
+    pos = jnp.arange(LOCAL)[None, :]
+    for b in range(N_BITS - 1, -1, -1):
+        d = 1 << b
+        move = (flag > 0.5) & (((shift >> b) & 1) == 1)
+        arrive = jnp.roll(move, d, axis=1) & (pos >= d)
+        fields = [jnp.where(arrive, jnp.roll(x, d, axis=1),
+                            jnp.where(move, 0.0, x)) for x in fields]
+        shift = jnp.where(arrive, jnp.roll(shift, d, axis=1) - d,
+                          jnp.where(move, 0, shift))
+        flag = jnp.where(arrive, 1.0, jnp.where(move, 0.0, flag))
+    return fields, flag
+
+
+def _place_jnp(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
+               n_pos: int):
+    nf = len(fields_sorted)
+    nt = n_tiles(geom)
+    o = starts[:-1] % LANES
+    m = starts[1:] - starts[:-1]
+    pos = jnp.arange(LOCAL)[None, :]
+    valid = (pos >= o[:, None]) & (pos < (o + m)[:, None])
+
+    slot_w = _window_gather(slot_sorted.reshape(-1), starts, 0)
+    tile_base = jnp.arange(nt, dtype=jnp.int32)[:, None] * TILE
+    target = slot_w - tile_base + LANES
+    shift = jnp.where(valid, target - pos, 0)
+    flag = valid.astype(jnp.float32)
+
+    fields = [_window_gather(f.reshape(-1), starts, 0.0)
+              for f in fields_sorted]
+    posf = jnp.broadcast_to(pos.astype(jnp.float32), (nt, LOCAL))
+    routed, flag_r = _route_fwd_jnp(fields + [posf], shift, flag)
+    filled = flag_r > 0.5
+
+    shape = (geom.k, geom.pz, geom.n_bx, geom.py, LANES)
+    outs = []
+    for i in range(nf):
+        fill = pm.SENTINEL if i < n_pos else 0.0
+        v = jnp.where(filled, routed[i], fill)[:, LANES:LANES + TILE]
+        outs.append(v.reshape(shape))
+    tot = jnp.where(filled, pos.astype(jnp.float32) - routed[nf], -1.0)
+    outs.append(tot[:, LANES:LANES + TILE].reshape(shape))
+    return jnp.stack(outs, axis=0)
