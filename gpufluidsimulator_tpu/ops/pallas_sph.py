@@ -56,10 +56,11 @@ def _build_windows(scr, refs, n_fields: int, dzs: Sequence[int]):
     """
     for i, dz in enumerate(dzs):
         r0, r1, r2 = refs[i]
-        scr[i, :, :, 0:1, :] = r0[:, :, 0, 0,
-                                  ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :]
-        scr[i, :, :, 1:9, :] = r1[:, :, 0, 0, :, :]
-        scr[i, :, :, 9:10, :] = r2[:, :, 0, 0, 0:1, :]
+        scr[i, 0:n_fields, :, 0:1, :] = r0[:, :, 0, 0,
+                                           ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK,
+                                           :]
+        scr[i, 0:n_fields, :, 1:9, :] = r1[:, :, 0, 0, :, :]
+        scr[i, 0:n_fields, :, 9:10, :] = r2[:, :, 0, 0, 0:1, :]
 
 
 def _stencil(dim: int):
@@ -161,14 +162,30 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     bidx = (bz * geom.n_bx + bx) * geom.n_by + by
     occ_q = occ_q_ref[bidx]
 
-    # NOTE: the -m*spiky_grad_coef and m*viscosity*visc_lap_coef constants
-    # are pre-folded into the pr2/irho planes by step_pallas (one multiply
-    # per slot instead of one per pair-tile)
     h = jnp.float32(params.h)
+    import math as _math
+    rest = jnp.float32(params.rest_density)
+    m_spiky = jnp.float32(-kernels.spiky_grad_coef(params.h, params.dim)
+                          * params.particle_mass)
+    m_visc_sqrt = jnp.float32(_math.sqrt(
+        kernels.visc_lap_coef(params.h, params.dim)
+        * params.particle_mass * params.viscosity))
 
     @pl.when(occ_q > 0)
     def _():
-        _build_windows(win, refs, 8, dzs)
+        _build_windows(win, refs, 7, dzs)
+        # EOS fused at window-build time: channel 6 (rho) becomes the
+        # pressure term m_spiky*p/rho^2, channel 7 the viscosity sqrt-factor
+        # (one pass per window instead of two extra plane channels)
+        for zi in range(len(dzs)):
+            xw = win[zi, 0]
+            rw = win[zi, 6]
+            validw = xw < pm.SENTINEL * 0.5
+            rho_c = jnp.where(validw,
+                              jnp.maximum(rw, 1e-3 * rest), rest)
+            pres = physics.eos_pressure(rho_c, params)
+            win[zi, 6] = m_spiky * pres / (rho_c * rho_c)
+            win[zi, 7] = m_visc_sqrt / rho_c
         ctr = len(dzs) // 2
 
         def q_loop(k1, _):
@@ -324,10 +341,11 @@ def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
 
 def accel_planes(field_planes, occ_q, occ_s, params: SimParams,
                  geom: PlaneGeom):
-    """(8, K, pz, py, 128) field planes -> (3, K, pz, py, 128) acceleration
-    (pressure + viscosity; gravity NOT included)."""
+    """(7, K, pz, n_bx, py, 128) field planes (pos, vel, rho) ->
+    (3, ...) acceleration (pressure + viscosity; gravity NOT included).
+    The EOS runs fused inside the kernel."""
     n_dz = 3 if geom.dim == 3 else 1
-    grid, in_specs = _grid_and_specs(geom, 8)
+    grid, in_specs = _grid_and_specs(geom, 7)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -379,27 +397,15 @@ def step_pallas(pos, vel, ids, params: SimParams, *,
     pos_planes = planes[:pm.N_POS_FIELDS]
 
     rho_p = density_planes(pos_planes, occ_q, occ_s, params, geom)
-    valid = pos_planes[0] < pm.SENTINEL * 0.5
-    rho_p = jnp.where(valid, rho_p, params.rest_density)
-    rho_p = jnp.maximum(rho_p, 1e-3 * params.rest_density)
-    pres_p = physics.eos_pressure(rho_p, params)
     # halo lanes hold edge-truncated densities from the kernel; refresh them
     # from the owning tile before the force sweep reads them as candidates.
-    # Kernel constants are folded in here: one multiply per SLOT instead of
-    # one per pair-tile inside the sweep.
-    import math
-    m_spiky = float(-kernels.spiky_grad_coef(params.h, params.dim)
-                    * params.particle_mass)
-    m_visc_sqrt = math.sqrt(kernels.visc_lap_coef(params.h, params.dim)
-                            * params.particle_mass * params.viscosity)
-    pr2_p = pm.halo_x(m_spiky * pres_p / (rho_p * rho_p))
-    irho_p = pm.halo_x(m_visc_sqrt / rho_p)
-
-    fields = jnp.concatenate(
-        [planes, pr2_p[None], irho_p[None]], axis=0)
+    # The EOS + kernel-constant folding runs fused INSIDE the force kernel
+    # (window-build time), so the stack carries raw rho as its 7th channel.
+    fields = jnp.concatenate([planes, pm.halo_x(rho_p)[None]], axis=0)
     if exchange is not None:
         # refresh the derived fields' cross-device halos (positions in the
-        # stack are already exchanged; re-exchanging them is idempotent)
+        # stack are already exchanged; re-exchanging them is idempotent;
+        # rho's 0-fill at global edges is sanitized in-kernel)
         fields = exchange(fields, n_pos_fields=pm.N_POS_FIELDS)
     acc_p = accel_planes(fields, occ_q, occ_s, params, geom)
 
@@ -408,7 +414,11 @@ def step_pallas(pos, vel, ids, params: SimParams, *,
     # gathers cost 10-23ns/element here
     from . import route
     if params.diagnostics:
-        stack = jnp.concatenate([acc_p, rho_p[None], pres_p[None]], axis=0)
+        valid = pos_planes[0] < pm.SENTINEL * 0.5
+        rho_d = jnp.maximum(jnp.where(valid, rho_p, params.rest_density),
+                            1e-3 * params.rest_density)
+        pres_p = physics.eos_pressure(rho_d, params)
+        stack = jnp.concatenate([acc_p, rho_d[None], pres_p[None]], axis=0)
     else:
         stack = acc_p
     out = route.extract_per_particle(stack, table.shifts, table.slot,
