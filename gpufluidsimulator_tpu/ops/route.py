@@ -77,7 +77,9 @@ def route_fwd(fields, shift, flag):
     """MSB-first monotone expansion in (ROWS, 128) local flat space.
 
     fields: list of f32 tiles; shift: i32 remaining shift; flag: f32 0/1.
-    Returns (routed fields, routed flag).
+    Returns (routed fields, routed flag).  (Runtime per-stage skipping via
+    lax.cond was measured SLOWER than running all 14 stages — the scalar-core
+    branch stalls the vector pipeline; see BASELINE.md optimization notes.)
     """
     pos = _flat_pos()
     for b in range(N_BITS - 1, -1, -1):
@@ -110,40 +112,53 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
     sscr = refs[n_fields + 3]                         # (ROWS, 128) i32
     sems = refs[n_fields + 4]                         # DMA sems (F+1,)
 
-    def dma(i):
-        if i < n_fields:
+    @pl.when(m == 0)
+    def _():
+        # empty tile (most of the rank-plane space is): sentinel/zero fill,
+        # no DMA, no routing — measured ~5% off the whole step @1M
+        for i in range(n_fields):
+            fill = pm.SENTINEL if i < n_pos else 0.0
+            out_ref[i, 0, 0, 0, :, :] = jnp.full((OUT_ROWS, LANES), fill,
+                                                 jnp.float32)
+        out_ref[n_fields, 0, 0, 0, :, :] = jnp.full((OUT_ROWS, LANES), -1.0,
+                                                    jnp.float32)
+
+    @pl.when(m != 0)
+    def _():
+        def dma(i):
+            if i < n_fields:
+                return pltpu.make_async_copy(
+                    f_refs[i].at[pl.ds(row0, PAD_ROWS), :],
+                    fscr.at[i, pl.ds(0, PAD_ROWS), :], sems.at[i])
             return pltpu.make_async_copy(
-                f_refs[i].at[pl.ds(row0, PAD_ROWS), :],
-                fscr.at[i, pl.ds(0, PAD_ROWS), :], sems.at[i])
-        return pltpu.make_async_copy(
-            slot_ref.at[pl.ds(row0, PAD_ROWS), :],
-            sscr.at[pl.ds(0, PAD_ROWS), :], sems.at[n_fields])
+                slot_ref.at[pl.ds(row0, PAD_ROWS), :],
+                sscr.at[pl.ds(0, PAD_ROWS), :], sems.at[n_fields])
 
-    for i in range(n_fields + 1):
-        dma(i).start()
-    for i in range(n_fields + 1):
-        dma(i).wait()
+        for i in range(n_fields + 1):
+            dma(i).start()
+        for i in range(n_fields + 1):
+            dma(i).wait()
 
-    pos = _flat_pos()
-    valid = (pos >= o) & (pos < o + m)
-    tile_base = t * TILE
-    # local target = (slot - tile_base) + 128; shift = target - position
-    target = sscr[...] - tile_base + LANES
-    shift = jnp.where(valid, target - pos, 0)
-    flag = valid.astype(jnp.float32)
+        pos = _flat_pos()
+        valid = (pos >= o) & (pos < o + m)
+        tile_base = t * TILE
+        # local target = (slot - tile_base) + 128; shift = target - position
+        target = sscr[...] - tile_base + LANES
+        shift = jnp.where(valid, target - pos, 0)
+        flag = valid.astype(jnp.float32)
 
-    fields = [fscr[i] for i in range(n_fields)]
-    routed, flag_r = route_fwd(fields + [pos.astype(jnp.float32)],
-                               shift, flag)
-    filled = flag_r > 0.5
-    for i in range(n_fields):
-        fill = pm.SENTINEL if i < n_pos else 0.0
-        val = jnp.where(filled, routed[i], fill)
-        out_ref[i, 0, 0, 0, :, :] = val[1:1 + OUT_ROWS, :]
-    # shift channel: routed position - original position; -1 where empty
-    total_shift = jnp.where(filled,
-                            pos.astype(jnp.float32) - routed[n_fields], -1.0)
-    out_ref[n_fields, 0, 0, 0, :, :] = total_shift[1:1 + OUT_ROWS, :]
+        fields = [fscr[i] for i in range(n_fields)]
+        routed, flag_r = route_fwd(fields + [pos.astype(jnp.float32)],
+                                   shift, flag)
+        filled = flag_r > 0.5
+        for i in range(n_fields):
+            fill = pm.SENTINEL if i < n_pos else 0.0
+            val = jnp.where(filled, routed[i], fill)
+            out_ref[i, 0, 0, 0, :, :] = val[1:1 + OUT_ROWS, :]
+        # shift channel: routed position - original position; -1 where empty
+        total_shift = jnp.where(
+            filled, pos.astype(jnp.float32) - routed[n_fields], -1.0)
+        out_ref[n_fields, 0, 0, 0, :, :] = total_shift[1:1 + OUT_ROWS, :]
 
 
 def tile_index_map(geom: PlaneGeom, lead_zeros: int = 1):
@@ -230,36 +245,49 @@ def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,
                     *, n_ch: int):
     """Un-place one routing tile: values at slots -> the tile's slot-sorted
     particle run, landed at local positions [o, o+m)."""
-    pos = _flat_pos()
-    zero_row = jnp.zeros((1, LANES), jnp.float32)
-    pad_lo = jnp.ones((1, LANES), jnp.float32)
-    del pad_lo
+    t = pl.program_id(0)
+    m = starts_ref[t + 1] - starts_ref[t]
 
-    sh = shifts_ref[0, 0, 0, :, :]                    # (64, 128) f32
-    shift = jnp.concatenate(
-        [jnp.zeros((1, LANES), jnp.float32), sh,
-         jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)],
-        axis=0).astype(jnp.int32)
-    flag = jnp.concatenate(
-        [jnp.zeros((1, LANES), jnp.float32), (sh >= 0).astype(jnp.float32),
-         jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)], axis=0)
+    @pl.when(m == 0)
+    def _():
+        # tile owns no particles; stitch never reads its strip, but keep the
+        # output defined (the block is copied back from VMEM regardless)
+        out_ref[0, :, :, :] = jnp.zeros((n_ch, PAD_ROWS, LANES), jnp.float32)
 
-    fields = []
-    for c in range(n_ch):
-        v = vals_ref[c, 0, 0, 0, :, :]
-        fields.append(jnp.concatenate(
-            [zero_row, v, jnp.zeros((ROWS - 1 - OUT_ROWS, LANES),
-                                    jnp.float32)], axis=0))
+    @pl.when(m != 0)
+    def _():
+        pos = _flat_pos()
+        zero_row = jnp.zeros((1, LANES), jnp.float32)
 
-    routed, flag_b = route_bwd(fields, jnp.maximum(shift, 0), flag)
-    for c in range(n_ch):
-        out_ref[0, c, :, :] = routed[c][:PAD_ROWS, :]
+        sh = shifts_ref[0, 0, 0, :, :]                # (64, 128) f32
+        shift = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.float32), sh,
+             jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)],
+            axis=0).astype(jnp.int32)
+        flag = jnp.concatenate(
+            [jnp.zeros((1, LANES), jnp.float32),
+             (sh >= 0).astype(jnp.float32),
+             jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)], axis=0)
+
+        fields = []
+        for c in range(n_ch):
+            v = vals_ref[c, 0, 0, 0, :, :]
+            fields.append(jnp.concatenate(
+                [zero_row, v, jnp.zeros((ROWS - 1 - OUT_ROWS, LANES),
+                                        jnp.float32)], axis=0))
+
+        routed, flag_b = route_bwd(fields, jnp.maximum(shift, 0), flag)
+        for c in range(n_ch):
+            out_ref[0, c, :, :] = routed[c][:PAD_ROWS, :]
 
 
-def extract(value_stack, shifts, geom: PlaneGeom):
+def extract(value_stack, shifts, geom: PlaneGeom, starts=None):
     """(C, K, pz, n_bx, py, 128) slot values + routing shifts ->
     (n_tiles, C, 65, 128) per-tile slot-sorted particle runs, where tile t's
-    run occupies flat positions [start_t % 128, start_t % 128 + m_t)."""
+    run occupies flat positions [start_t % 128, start_t % 128 + m_t).
+
+    ``starts`` (n_tiles+1,): per-tile particle offsets — empty tiles skip the
+    inverse network entirely."""
     n_ch = value_stack.shape[0]
     nt = n_tiles(geom)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -278,14 +306,16 @@ def extract(value_stack, shifts, geom: PlaneGeom):
             memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_extract_kernel, n_ch=n_ch)
-    starts_dummy = jnp.zeros((1,), jnp.int32)   # (unused; uniform signature)
+    if starts is None:
+        # no skip info: treat every tile as populated
+        starts = jnp.arange(nt + 1, dtype=jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, n_ch, PAD_ROWS, LANES),
                                        jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(starts_dummy, value_stack, shifts)
+    )(starts, value_stack, shifts)
 
 
 def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
@@ -399,7 +429,7 @@ def extract_per_particle(value_stack, shifts, slot, starts,
     tfirst = tile_of[jnp.minimum(p0s, n - 1)]
     tlast = tile_of[jnp.minimum(p0s + TILE - 1, n - 1)]
 
-    strips = extract(value_stack, shifts, geom)
+    strips = extract(value_stack, shifts, geom, starts=starts)
     flat = stitch(strips, starts, tfirst, tlast, n_blocks, geom)
     return flat[:, :n].T
 

@@ -1,0 +1,39 @@
+"""Tight full-step timing @N for A/B of route flags.
+
+Usage: [FS_ROUTE_*=0/1] python scripts/ab_step.py [N] [dim] [warm]
+"""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gpufluidsimulator_tpu.utils.cache import enable as _enable_cache
+_enable_cache()
+
+import jax
+
+from gpufluidsimulator_tpu import scenes
+from gpufluidsimulator_tpu.models import solver
+from gpufluidsimulator_tpu.utils.profiling import slope_time
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    warm = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+
+    params, state = scenes.double_dam_break(n=n, dim=dim)
+    params = params.replace(diagnostics=False)
+    state = solver.run(state, params, warm, method="pallas")
+    jax.block_until_ready(state.pos)
+    fn = solver._METHODS["pallas"]
+    t = slope_time(lambda s: fn(s, params), state, k1=3, k2=23, reps=3)
+    print(f"N={state.n}  step={t*1e3:.2f} ms  "
+          f"({state.n/t:.3e} particle-steps/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
