@@ -146,14 +146,19 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                   geom: PlaneGeom):
     """Fused pressure-gradient + viscosity sweep.
 
-    Field order in the input stack (F=8):
-      0:x 1:y 2:z 3:vx 4:vy 5:vz 6:p/rho^2 7:1/rho
+    Inputs arrive as TWO window groups — the 6-channel pos/vel plane stack
+    and the 1-channel density planes (kept separate so the step never
+    materializes a concatenated 7-channel stack in HBM).  Window channel
+    order after the fused EOS pass:
+      0:x 1:y 2:z 3:vx 4:vy 5:vz 6:m_spiky*p/rho^2 7:m_visc_sqrt/rho
     Output: (3, K, 1, 8, 128) acceleration block (gravity added outside).
     """
     dzs, dys, dxs = _stencil(params.dim)
     n_in = 3 * len(dzs)
-    refs, (acc_ref, win) = args[:n_in], args[n_in:]
+    refs, rrefs, (acc_ref, win) = (args[:n_in], args[n_in:2 * n_in],
+                                   args[2 * n_in:])
     refs = [refs[3 * i:3 * i + 3] for i in range(len(dzs))]
+    rrefs = [rrefs[3 * i:3 * i + 3] for i in range(len(dzs))]
 
     if params.dim == 3:
         bz, bx, by = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -173,7 +178,14 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
 
     @pl.when(occ_q > 0)
     def _():
-        _build_windows(win, refs, 7, dzs)
+        _build_windows(win, refs, 6, dzs)
+        # density windows from the separate 1-channel group -> channel 6
+        for i in range(len(dzs)):
+            r0, r1, r2 = rrefs[i]
+            win[i, 6, :, 0:1, :] = r0[:, 0, 0,
+                                      ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :]
+            win[i, 6, :, 1:9, :] = r1[:, 0, 0, :, :]
+            win[i, 6, :, 9:10, :] = r2[:, 0, 0, 0:1, :]
         # EOS fused at window-build time: channel 6 (rho) becomes the
         # pressure term m_spiky*p/rho^2, channel 7 the viscosity sqrt-factor
         # (one pass per window instead of two extra plane channels)
@@ -271,7 +283,14 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
 # --------------------------------------------------------------------------
 
 def _grid_and_specs(geom: PlaneGeom, n_fields: int):
-    """Build the (grid, in_specs) for the 3x3 y-block/z-plane stencil copies."""
+    """Build the (grid, in_specs) for the 3x3 y-block/z-plane stencil copies.
+
+    (An indirect 1D grid over an actives-first block list — skipping the
+    empty tail's window copies via repeated-index elision — was measured
+    ~2 ms SLOWER @1M: the sweeps are compute-bound, so the elided DMA was
+    already hidden, and the scalar-prefetch index-map reads add per-step
+    overhead.  Keep the dense static grid.)
+    """
     dzs, _, _ = _stencil(geom.dim)
     blk = (n_fields, geom.k, 1, 1, ROWS_PER_BLOCK, LANES)
     if geom.dim == 3:
@@ -303,8 +322,8 @@ def _grid_and_specs(geom: PlaneGeom, n_fields: int):
 
 def _out_index(geom: PlaneGeom, lead: int):
     if geom.dim == 3:
-        return lambda bz, bx, by: (0,) * lead + (0, bz + 1, bx, by + 1, 0)
-    return lambda bx, by: (0,) * lead + (0, 0, bx, by + 1, 0)
+        return lambda bz, bx, by, *_: (0,) * lead + (0, bz + 1, bx, by + 1, 0)
+    return lambda bx, by, *_: (0,) * lead + (0, 0, bx, by + 1, 0)
 
 
 def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
@@ -317,8 +336,7 @@ def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
-            lambda *ids: _out_index(geom, 0)(*ids[:geom.dim]),
+            (geom.k, 1, 1, ROWS_PER_BLOCK, LANES), _out_index(geom, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_dz, pm.N_POS_FIELDS, geom.k,
@@ -339,20 +357,38 @@ def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
     )(occ_q.reshape(-1), occ_s.reshape(-1), *([pos_planes] * n_copies))
 
 
-def accel_planes(field_planes, occ_q, occ_s, params: SimParams,
-                 geom: PlaneGeom):
-    """(7, K, pz, n_bx, py, 128) field planes (pos, vel, rho) ->
-    (3, ...) acceleration (pressure + viscosity; gravity NOT included).
-    The EOS runs fused inside the kernel."""
+def accel_planes(field_planes, rho_planes, occ_q, occ_s,
+                 params: SimParams, geom: PlaneGeom):
+    """(6, K, pz, n_bx, py, 128) pos/vel planes + (K, pz, n_bx, py, 128)
+    density planes -> (3, ...) acceleration (pressure + viscosity; gravity
+    NOT included).  The EOS runs fused inside the kernel."""
     n_dz = 3 if geom.dim == 3 else 1
-    grid, in_specs = _grid_and_specs(geom, 7)
+    grid, in_specs = _grid_and_specs(geom, 6)
+
+    rho_blk = (geom.k, 1, 1, ROWS_PER_BLOCK, LANES)
+    if geom.dim == 3:
+        def mk_rho(dz, j):
+            return pl.BlockSpec(
+                rho_blk,
+                lambda bz, bx, by, *_, dz=dz, j=j:
+                    (0, bz + dz, bx, by + j, 0),
+                memory_space=pltpu.VMEM)
+
+        rho_specs = [mk_rho(dz, j) for dz in (0, 1, 2) for j in (0, 1, 2)]
+    else:
+        def mk_rho(j):
+            return pl.BlockSpec(
+                rho_blk,
+                lambda bx, by, *_, j=j: (0, 0, bx, by + j, 0),
+                memory_space=pltpu.VMEM)
+
+        rho_specs = [mk_rho(j) for j in (0, 1, 2)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=in_specs + rho_specs,
         out_specs=pl.BlockSpec(
-            (3, geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
-            lambda *ids: _out_index(geom, 1)(*ids[:geom.dim]),
+            (3, geom.k, 1, 1, ROWS_PER_BLOCK, LANES), _out_index(geom, 1),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(
             (n_dz, 8, geom.k, ROWS_PER_BLOCK + 2, LANES), jnp.float32)],
@@ -365,7 +401,8 @@ def accel_planes(field_planes, occ_q, occ_s, params: SimParams,
         out_shape=jax.ShapeDtypeStruct(
             (3, geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
         interpret=_interpret(),
-    )(occ_q.reshape(-1), occ_s.reshape(-1), *([field_planes] * n_copies))
+    )(occ_q.reshape(-1), occ_s.reshape(-1),
+      *([field_planes] * n_copies), *([rho_planes] * n_copies))
 
 
 # --------------------------------------------------------------------------
@@ -400,14 +437,15 @@ def step_pallas(pos, vel, ids, params: SimParams, *,
     # halo lanes hold edge-truncated densities from the kernel; refresh them
     # from the owning tile before the force sweep reads them as candidates.
     # The EOS + kernel-constant folding runs fused INSIDE the force kernel
-    # (window-build time), so the stack carries raw rho as its 7th channel.
-    fields = jnp.concatenate([planes, pm.halo_x(rho_p)[None]], axis=0)
+    # (window-build time); rho rides as a separate 1-channel input group so
+    # no concatenated 7-channel stack is ever materialized in HBM.
+    rho_h = pm.halo_x(rho_p)
     if exchange is not None:
-        # refresh the derived fields' cross-device halos (positions in the
-        # stack are already exchanged; re-exchanging them is idempotent;
-        # rho's 0-fill at global edges is sanitized in-kernel)
-        fields = exchange(fields, n_pos_fields=pm.N_POS_FIELDS)
-    acc_p = accel_planes(fields, occ_q, occ_s, params, geom)
+        # refresh rho's cross-device halo lanes (positions/velocities in
+        # `planes` were exchanged before the density sweep; rho's 0-fill at
+        # global edges is sanitized in-kernel)
+        rho_h = exchange(rho_h[None], n_pos_fields=0)[0]
+    acc_p = accel_planes(planes, rho_h, occ_q, occ_s, params, geom)
 
     # per-particle values out of the planes: acc (3) [+ rho, pres
     # diagnostics] via the inverse routing network (ops/route) — XLA

@@ -91,8 +91,8 @@ def make_prefixes(params: SimParams):
         occ_q, occ_s = pm.occupancy_bounds(t.planes, params, geom)
         rho_p = pallas_sph.density_planes(t.planes[:pm.N_POS_FIELDS],
                                           occ_q, occ_s, params, geom)
-        fields = jnp.concatenate([t.planes, pm.halo_x(rho_p)[None]], axis=0)
-        acc_p = pallas_sph.accel_planes(fields, occ_q, occ_s, params, geom)
+        acc_p = pallas_sph.accel_planes(t.planes, pm.halo_x(rho_p),
+                                        occ_q, occ_s, params, geom)
         return state._replace(pos=feedback(state.pos, t.planes, t.pos_s,
                                           acc_p))
 
@@ -101,8 +101,8 @@ def make_prefixes(params: SimParams):
         occ_q, occ_s = pm.occupancy_bounds(t.planes, params, geom)
         rho_p = pallas_sph.density_planes(t.planes[:pm.N_POS_FIELDS],
                                           occ_q, occ_s, params, geom)
-        fields = jnp.concatenate([t.planes, pm.halo_x(rho_p)[None]], axis=0)
-        acc_p = pallas_sph.accel_planes(fields, occ_q, occ_s, params, geom)
+        acc_p = pallas_sph.accel_planes(t.planes, pm.halo_x(rho_p),
+                                        occ_q, occ_s, params, geom)
         out = route.extract_per_particle(acc_p, t.shifts, t.slot,
                                          t.starts, geom)
         return state._replace(pos=feedback(state.pos, t.planes, t.pos_s, out))
