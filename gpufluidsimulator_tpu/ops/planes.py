@@ -151,11 +151,13 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
         cid = jnp.where(active, cid, cells)     # one-past-the-end "cell"
     # Sort #1 by cell id — ONE multi-operand sort carries every field along
     # with the key: ~15x cheaper than argsort + permutation gathers on TPU
-    # (gathers cost 10-23ns/element; the sort network is native).
+    # (gathers cost 10-23ns/element; the sort network is native).  Unstable:
+    # rank order within a cell is physically arbitrary (any particle may take
+    # any slot), and the TPU sort network is still deterministic.
     dim = params.dim
     operands = (cid,) + tuple(pos[:, j] for j in range(dim)) \
         + tuple(vel[:, j] for j in range(dim)) + (ids,)
-    out = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    out = jax.lax.sort(operands, num_keys=1, is_stable=False)
     cid_sorted = out[0]
     # rank within cell: position minus the index where this cell's run began
     # (an O(N) cummax instead of searchsorted: binary search is 20 dependent
@@ -174,7 +176,9 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     # strictly increasing along the particle order, which makes placement a
     # monotone expansion — routed by ops/route.place in pure VPU work
     # instead of element-at-a-time scatters (~5.7ns/update on this chip).
-    out2 = jax.lax.sort((slot1,) + out[1:], num_keys=1, is_stable=True)
+    # Unstable: slot keys are unique except dropped/inactive (all k*cells),
+    # whose relative order is never observed (ok == False masks them).
+    out2 = jax.lax.sort((slot1,) + out[1:], num_keys=1, is_stable=False)
     slot = out2[0]
     pos_cols = out2[1:1 + dim]
     vel_cols = out2[1 + dim:1 + 2 * dim]

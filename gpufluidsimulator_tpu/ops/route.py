@@ -320,59 +320,68 @@ def extract(value_stack, shifts, geom: PlaneGeom, starts=None):
 
 def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
                    scr, sem, *, n_ch: int, nt: int):
-    """Assemble one 8192-particle output block from <= STITCH_C tile runs."""
+    """Assemble one 8192-particle output block from its spanning tile runs.
+
+    Double-buffered: ONE contiguous DMA per tile covers all channels (the
+    strips layout keeps a tile's channels adjacent), and tile c+1's copy is
+    issued before tile c is processed, so the per-tile DMA latency that used
+    to serialize this kernel (~27us/block with per-channel start->wait
+    chains) hides behind the rolls.  Non-contributing tiles need no branch:
+    their jmask is all-false, so the select is a no-op.
+    """
     b = pl.program_id(0)
     p0 = b * TILE
+    t0 = tfirst_ref[b]
+    # dynamic trip count: exactly the tiles this block's particles span
+    # (sparse high ranks can span many mostly-empty tiles)
+    span = tlast_ref[b] - t0 + 1
     accs = [jnp.zeros((OUT_ROWS, LANES), jnp.float32) for _ in range(n_ch)]
     pos = (jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1))
 
+    def dma(c, buf):
+        # strips_ref is 2D (nt*n_ch*PAD_ROWS, 128): DMAs of slices whose
+        # last two dims are (rows, 128) are the only reliably supported
+        # form (a 4D source with the 65-row middle dim faults the TPU)
+        t = jnp.minimum(t0 + c, nt - 1)
+        return pltpu.make_async_copy(
+            strips_ref.at[pl.ds(t * n_ch * PAD_ROWS, n_ch * PAD_ROWS), :],
+            scr.at[buf], sem.at[buf])
+
+    dma(0, 0).start()
+
     def body(c, accs):
-        t = jnp.minimum(tfirst_ref[b] + c, nt - 1)
+        buf = c % 2
+
+        @pl.when(c + 1 < span)
+        def _():
+            dma(c + 1, (c + 1) % 2).start()
+
+        dma(c, buf).wait()
+        t = jnp.minimum(t0 + c, nt - 1)
         s_t = starts_ref[t]
         e_t = starts_ref[t + 1]
-        contributes = (s_t < p0 + TILE) & (e_t > p0) & (e_t > s_t)
+        o_t = s_t % LANES
+        # out flat j corresponds to strip flat (j + off)
+        off = o_t + (p0 - s_t)
+        rot = (-off) % LOCAL
+        lane_rot = rot % LANES
+        row_rot = rot // LANES
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
+        new = []
+        for ch in range(n_ch):
+            x = jnp.concatenate(
+                [scr[buf, ch * PAD_ROWS:(ch + 1) * PAD_ROWS, :],
+                 jnp.zeros((ROWS - PAD_ROWS, LANES), jnp.float32)],
+                axis=0)
+            a = pltpu.roll(x, lane_rot, axis=1)
+            hi = pltpu.roll(a, row_rot + 1, axis=0)
+            lo = pltpu.roll(a, row_rot, axis=0)
+            rotated = jnp.where(lane < lane_rot, hi, lo)[:OUT_ROWS, :]
+            new.append(jnp.where(jmask, rotated, accs[ch]))
+        return new
 
-        def work(accs):
-            # strips_ref is 2D (nt*n_ch*PAD_ROWS, 128): DMAs of slices whose
-            # last two dims are (rows, 128) are the only reliably supported
-            # form (a 4D source with the 65-row middle dim faults the TPU)
-            def dma(ch):
-                return pltpu.make_async_copy(
-                    strips_ref.at[pl.ds((t * n_ch + ch) * PAD_ROWS,
-                                        PAD_ROWS), :],
-                    scr.at[ch], sem.at[ch])
-            for ch in range(n_ch):
-                dma(ch).start()
-            for ch in range(n_ch):
-                dma(ch).wait()
-            o_t = s_t % LANES
-            # out flat j corresponds to strip flat (j + off)
-            off = o_t + (p0 - s_t)
-            rot = (-off) % LOCAL
-            lane_rot = rot % LANES
-            row_rot = rot // LANES
-            lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-            jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
-            new = []
-            for ch in range(n_ch):
-                x = jnp.concatenate(
-                    [scr[ch],
-                     jnp.zeros((ROWS - PAD_ROWS, LANES), jnp.float32)],
-                    axis=0)
-                a = pltpu.roll(x, lane_rot, axis=1)
-                hi = pltpu.roll(a, row_rot + 1, axis=0)
-                lo = pltpu.roll(a, row_rot, axis=0)
-                rotated = jnp.where(lane < lane_rot, hi, lo)[:OUT_ROWS, :]
-                new.append(jnp.where(jmask, rotated, accs[ch]))
-            return new
-
-        return jax.lax.cond(contributes, work, lambda a: list(a), accs)
-
-    # dynamic trip count: exactly the tiles this block's particles span
-    # (sparse high ranks can span many mostly-empty tiles; empty ones cost
-    # one skipped conditional each)
-    span = tlast_ref[b] - tfirst_ref[b] + 1
     accs = jax.lax.fori_loop(0, span, body, accs)
     for ch in range(n_ch):
         out_ref[ch, 0, :, :] = accs[ch]
@@ -391,8 +400,8 @@ def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
             (n_ch, 1, OUT_ROWS, LANES), lambda b, *_: (0, 0, b, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_ch, PAD_ROWS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_ch,)),
+            pltpu.VMEM((2, n_ch * PAD_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_stitch_kernel, n_ch=n_ch, nt=nt_)

@@ -76,7 +76,9 @@ def migrate(pos, vel, ids, x_origin, width, m_cap: int, n_dev: int):
            + jnp.where(active, 0, 3))
     ops = ((key,) + tuple(pos[:, j] for j in range(d))
            + tuple(vel[:, j] for j in range(d)) + (ids,))
-    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    # unstable: order within each group is irrelevant (stayers get rebinned,
+    # leavers land in arbitrary free tail slots on the neighbor anyway)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=False)
     key = out[0]
     pos = jnp.stack(out[1:1 + d], axis=-1)
     vel = jnp.stack(out[1 + d:1 + 2 * d], axis=-1)

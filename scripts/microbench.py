@@ -38,13 +38,15 @@ def bench_sort():
     key = jnp.asarray(key)
     cols = [jnp.asarray(c) for c in cols]
 
-    for n_ops in (1, 2, 4, 8):
-        @jax.jit
-        def f(key, *cs):
-            return jax.lax.sort((key,) + cs, num_keys=1, is_stable=True)[0]
-        args = (key,) + tuple(cols[:n_ops - 1])
-        t = timeit(f, *args)
-        print(f"sort {n_ops} operands @1M: {t*1e3:6.2f} ms")
+    for stable in (True, False):
+        for n_ops in (1, 2, 4, 8):
+            @functools.partial(jax.jit, static_argnums=())
+            def f(key, *cs, _s=stable):
+                return jax.lax.sort((key,) + cs, num_keys=1, is_stable=_s)[0]
+            args = (key,) + tuple(cols[:n_ops - 1])
+            t = timeit(f, *args)
+            print(f"sort {n_ops} operands @1M stable={int(stable)}: "
+                  f"{t*1e3:6.2f} ms")
 
     # almost-sorted input (the temporal-coherence case)
     key_s = jnp.sort(key)

@@ -47,7 +47,7 @@ def make_prefixes(params: SimParams):
         cid = pm.cell_linear_parts(pos, params, geom)
         operands = (cid,) + tuple(pos[:, j] for j in range(dim)) \
             + tuple(vel[:, j] for j in range(dim)) + (ids,)
-        out = jax.lax.sort(operands, num_keys=1, is_stable=True)
+        out = jax.lax.sort(operands, num_keys=1, is_stable=False)
         cid_sorted = out[0]
         idx = jnp.arange(n, dtype=jnp.int32)
         run_start = jnp.concatenate([
@@ -58,7 +58,7 @@ def make_prefixes(params: SimParams):
         ok1 = (rank < geom.k) & in_domain
         slot1 = jnp.where(ok1, rank * geom.cells + cid_sorted,
                           geom.k * geom.cells)
-        out2 = jax.lax.sort((slot1,) + out[1:], num_keys=1, is_stable=True)
+        out2 = jax.lax.sort((slot1,) + out[1:], num_keys=1, is_stable=False)
         return out2
 
     def p_sorts(state):
