@@ -96,3 +96,24 @@ def test_pallas_occupancy_bounds_conservative():
                             pm.ROWS_PER_BLOCK, pm.LANES)
     true_max = blocks.max(axis=(3, 4))
     assert np.all(occ_q >= true_max)
+
+
+def test_overflow_drops_observable_and_finite():
+    """Force rank >= K overflow (tiny cell capacity): the counter must be
+    positive, ids stay a permutation, and every particle — including the
+    deterministically dropped ones, whose within-cell order the unstable
+    sort #1 assigns arbitrarily and whose sentinel slot keys tie in
+    sort #2 — integrates to a finite in-bounds position."""
+    params, state = scenes.dam_break(n=800, dim=2, jitter=0.4, seed=3)
+    params = params.replace(cell_capacity=1)
+    sp = solver.step(state, params, method="pallas")
+    assert int(sp.overflow) > 0
+    assert np.array_equal(np.sort(np.asarray(sp.ids)), np.arange(state.n))
+    pos = np.asarray(sp.pos)
+    assert np.isfinite(pos).all()
+    assert (pos >= np.asarray(params.bounds_min) - 1e-6).all()
+    assert (pos <= np.asarray(params.bounds_max) + 1e-6).all()
+    # a second evaluation is bitwise identical (unstable != nondeterministic)
+    sp2 = solver.step(state, params, method="pallas")
+    assert np.array_equal(np.asarray(sp.pos), np.asarray(sp2.pos))
+    assert np.array_equal(np.asarray(sp.ids), np.asarray(sp2.ids))
