@@ -193,7 +193,7 @@ def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (nf + 1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nf + 1),
         out_specs=pl.BlockSpec(
             (nf + 1, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
             memory_space=pltpu.VMEM),
@@ -395,7 +395,7 @@ def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (n_ch, 1, OUT_ROWS, LANES), lambda b, *_: (0, 0, b, 0),
             memory_space=pltpu.VMEM),
