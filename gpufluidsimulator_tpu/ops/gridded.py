@@ -10,10 +10,9 @@ static *linear cell offsets*; "visit neighbor cell" is a static slice of a
 once-padded dense array — no wraparound and no data-dependent control flow.
 Each stencil offset contributes a fully vectorised (C, K, K) pair block that
 XLA fuses into the accumulation, so nothing of size (C, K, 3^d K) is ever
-materialised.  Pair distances use direct coordinate differences (numerically
-exact for near pairs; the |a|^2+|b|^2-2ab MXU expansion is reserved for the
-Pallas kernel, which uses cell-relative coordinates to keep it accurate —
-see ops/pallas_sph.py).
+materialised.  Pair distances use direct coordinate differences, the same
+numerical policy as the Pallas kernels (the |a|^2+|b|^2-2ab MXU expansion
+loses ~3 digits near r->0 and is not used anywhere — see ops/pallas_sph.py).
 """
 
 from __future__ import annotations
