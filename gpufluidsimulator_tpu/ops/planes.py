@@ -150,8 +150,11 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     if active is not None:
         cid = jnp.where(active, cid, cells)     # one-past-the-end "cell"
     # Sort #1 by cell id — ONE multi-operand sort carries every field along
-    # with the key: ~15x cheaper than argsort + permutation gathers on TPU
-    # (gathers cost 10-23ns/element; the sort network is native).  Unstable:
+    # with the key.  The "thin" alternative (sort only (key, index), then
+    # apply the composed permutation with 1D gathers) was measured SLOWER:
+    # 7 gathers alone cost ~8.1 ms @1.2M (~10-23 ns/element — XLA 1D gather
+    # on this chip is not bandwidth-bound), more than the entire payload
+    # carry cost of both sorts (scripts/bench_binning2.py).  Unstable:
     # rank order within a cell is physically arbitrary (any particle may take
     # any slot), and the TPU sort network is still deterministic.
     dim = params.dim
@@ -166,7 +169,11 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
     run_start = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.where(cid_sorted[1:] != cid_sorted[:-1], idx[1:], 0)])
-    rank = idx - jax.lax.associative_scan(jnp.maximum, run_start)
+    # cummax, not associative_scan(maximum): XLA's cumulative-max lowering is
+    # ~18x faster on TPU than the generic Blelloch tree (0.09 vs 1.67 ms @1.2M,
+    # scripts/bench_binning.py) — the generic scan's interleaved slices defeat
+    # the vector units.
+    rank = idx - jax.lax.cummax(run_start)
     in_domain = cid_sorted < cells
     ok1 = (rank < k) & in_domain
     overflow = jnp.sum(~ok1 & in_domain).astype(jnp.int32)

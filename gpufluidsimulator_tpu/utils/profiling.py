@@ -29,8 +29,15 @@ def slope_time(step_fn: Callable, init_state, k1: int = 2, k2: int = 12,
         @jax.jit
         def f(s):
             s = jax.lax.fori_loop(0, k, lambda i, s: step_fn(s), s)
-            leaf = jax.tree_util.tree_leaves(s)[0]
-            return jnp.sum(leaf)
+            # pull ONE element of EVERY leaf: XLA's while-loop DCE removes
+            # carry elements whose instructions feed no live output, so
+            # summing only the first leaf lets independent carry chains be
+            # deleted wholesale and the measurement lie (observed: a
+            # "2.3 ms" binning variant that was really ~11 ms).
+            tot = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(s):
+                tot = tot + leaf.ravel()[0].astype(jnp.float32)
+            return tot
         float(f(init_state))                     # compile + warm
         t0 = time.time()
         for _ in range(reps):

@@ -40,7 +40,8 @@ def make_prefixes(params: SimParams):
     geom = pm.geometry(params)
 
     def binned(state):
-        """Everything up to (and including) the two sorts + rank scan."""
+        """Everything up to (and including) the two sorts + rank scan
+        (mirrors planes.build_planes)."""
         pos, vel, ids = state.pos, state.vel, state.ids
         n = pos.shape[0]
         dim = params.dim
@@ -53,7 +54,7 @@ def make_prefixes(params: SimParams):
         run_start = jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
             jnp.where(cid_sorted[1:] != cid_sorted[:-1], idx[1:], 0)])
-        rank = idx - jax.lax.associative_scan(jnp.maximum, run_start)
+        rank = idx - jax.lax.cummax(run_start)
         in_domain = cid_sorted < geom.cells
         ok1 = (rank < geom.k) & in_domain
         slot1 = jnp.where(ok1, rank * geom.cells + cid_sorted,
