@@ -120,16 +120,48 @@ def _rollout_scan(state, params, n_steps, method, record_every):
 class FluidSim:
     """Convenience OO facade mirroring the reference ParticleSystem API
     (init/step/getPositions — SURVEY.md §1 L1), wrapping the functional core.
+
+    ``method='native'`` selects the multithreaded C++ CPU engine
+    (csrc/fluidcore via oracle/native.py) — the analog of the reference's
+    GPU-vs-CPU mode switch (SURVEY.md §3.4).  It steps on the host rather
+    than under lax.scan, so it lives here in the facade, not the jax
+    method registry.
     """
 
     def __init__(self, params: SimParams, state: State,
                  method: str = "auto"):
         self.params = params
         self.state = state
-        self.method = resolve_method(method, state.n)
+        if method == "native":
+            from ..oracle import native
+            if not native.available():
+                raise RuntimeError(
+                    "native fluidcore engine unavailable "
+                    "(`make -C csrc` needs a working g++)")
+            self.method = "native"
+        else:
+            self.method = resolve_method(method, state.n)
 
     def step(self, n: int = 1) -> State:
+        if self.method == "native":
+            return self._step_native(n)
         self.state = run(self.state, self.params, n, self.method)
+        return self.state
+
+    def _step_native(self, n: int) -> State:
+        import numpy as np
+        from ..oracle import native
+        pos, vel, rho, pres = native.run(
+            np.asarray(self.state.pos, np.float64),
+            np.asarray(self.state.vel, np.float64),
+            self.params, n)
+        self.state = State(
+            pos=jnp.asarray(pos, jnp.float32),
+            vel=jnp.asarray(vel, jnp.float32),
+            rho=jnp.asarray(rho, jnp.float32),
+            pres=jnp.asarray(pres, jnp.float32),
+            ids=self.state.ids,
+            overflow=jnp.zeros((), jnp.int32))
         return self.state
 
     def get_positions(self):

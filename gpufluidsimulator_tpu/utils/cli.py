@@ -40,7 +40,9 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="vertical gravity (m/s^2, negative = down)")
     p.add_argument("--cell-capacity", type=int, default=None)
     p.add_argument("--method", default="auto",
-                   choices=["auto", "naive", "gridded", "pallas"])
+                   choices=["auto", "naive", "gridded", "pallas", "native"],
+                   help="'native' = multithreaded C++ CPU engine (the "
+                        "reference's CPU mode analog)")
     p.add_argument("--sharded", action="store_true",
                    help="spatial sharding over all visible devices "
                         "(shard_map + ppermute ghost exchange)")
@@ -140,10 +142,22 @@ def cmd_bench(args) -> int:
     from . import profiling
 
     params, state = _build_scene(args)
-    method = solver.resolve_method(args.method, state.n)
-    fn = solver._METHODS[method]
-    t = profiling.slope_time(lambda s: fn(s, params), state,
-                             k1=args.k1, k2=args.k2)
+    if args.method == "native":
+        # host CPU engine: plain wall clock (no device/tunnel latency to
+        # defeat), k2-k1 steps after a k1-step warmup
+        import time
+        from .. import FluidSim
+        sim = FluidSim(params, state, method="native")
+        sim.step(args.k1)
+        t0 = time.perf_counter()
+        sim.step(max(1, args.k2 - args.k1))
+        t = (time.perf_counter() - t0) / max(1, args.k2 - args.k1)
+        method = "native"
+    else:
+        method = solver.resolve_method(args.method, state.n)
+        fn = solver._METHODS[method]
+        t = profiling.slope_time(lambda s: fn(s, params), state,
+                                 k1=args.k1, k2=args.k2)
     result = {
         "metric": "particle-steps/sec/chip",
         "scene": args.scene, "n": state.n, "dim": params.dim,

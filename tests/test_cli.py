@@ -76,3 +76,49 @@ def test_param_overrides(capsys):
     rc = main(["bench", "-n", "200", "--dim", "2", "--method", "naive",
                "--viscosity", "1.5", "--k1", "1", "--k2", "2"])
     assert rc == 0
+
+
+def test_run_native_method(capsys):
+    """The reference's CPU-mode switch: --method native steps through the
+    C++ engine via the same CLI surface (SURVEY.md §3.4)."""
+    from gpufluidsimulator_tpu.oracle import native as _native
+    if not _native.available():
+        pytest.skip("native fluidcore not built")
+    rc = main(["run", "-n", "200", "--dim", "2", "--steps", "20",
+               "--report-every", "10", "--method", "native"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "method=native" in out
+
+
+def test_bench_native_method(capsys):
+    from gpufluidsimulator_tpu.oracle import native as _native
+    if not _native.available():
+        pytest.skip("native fluidcore not built")
+    rc = main(["bench", "-n", "300", "--dim", "2", "--method", "native",
+               "--k1", "1", "--k2", "3"])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["method"] == "native" and d["value"] > 0
+
+
+def test_fluidsim_native_matches_oracle():
+    """FluidSim(method='native') must advance exactly like oracle.native.run."""
+    import numpy as np
+    from gpufluidsimulator_tpu import FluidSim, scenes
+    from gpufluidsimulator_tpu.oracle import native as _native
+    if not _native.available():
+        pytest.skip("native fluidcore not built")
+    params, state = scenes.dam_break(n=300, dim=2, jitter=0.2, seed=7)
+    sim = FluidSim(params, state, method="native")
+    sim.step(15)
+    p_ref, v_ref, _, _ = _native.run(
+        np.asarray(state.pos, np.float64), np.asarray(state.vel, np.float64),
+        params, 15)
+    np.testing.assert_allclose(np.asarray(sim.state.pos), p_ref.astype(np.float32),
+                               rtol=0, atol=1e-6)
+    # positions come back in spawn order (ids untouched by the native path)
+    np.testing.assert_allclose(sim.get_positions(),
+                               p_ref.astype(np.float32), rtol=0, atol=1e-6)
