@@ -57,6 +57,15 @@ def _step_pallas(state: State, params: SimParams) -> State:
                  overflow=overflow)
 
 
+@register_method("pallas_inc")
+def _step_pallas_inc(state: State, params: SimParams) -> State:
+    # single-step facade; multi-step rollouts dispatch to inc.run_inc in
+    # run() so the planes stay resident across the whole scan (the point
+    # of the incremental path)
+    from ..ops import inc
+    return inc.run_inc(state, params, 1)
+
+
 def step(state: State, params: SimParams, method: str = "auto") -> State:
     """One SPH step. method: 'naive' | 'gridded' | 'pallas' | 'auto'."""
     return _METHODS[resolve_method(method, state.n)](state, params)
@@ -85,7 +94,11 @@ def _run_scan(state: State, params: SimParams, n_steps: int,
 def run(state: State, params: SimParams, n_steps: int,
         method: str = "auto") -> State:
     """Advance ``n_steps`` in one jitted lax.scan device program."""
-    return _run_scan(state, params, n_steps, resolve_method(method, state.n))
+    method = resolve_method(method, state.n)
+    if method == "pallas_inc":
+        from ..ops import inc
+        return inc.run_inc(state, params, n_steps)
+    return _run_scan(state, params, n_steps, method)
 
 
 def rollout(state: State, params: SimParams, n_steps: int,

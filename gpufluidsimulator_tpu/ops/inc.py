@@ -1,0 +1,487 @@
+"""Incremental binning: the rank-planar grid as persistent canonical state.
+
+Reference counterpart: none — the CUDA reference re-sorts every frame
+(SURVEY.md §3.1).  This module exploits a measured property of SPH under CFL
+time steps (scripts/mover_stats.py: 0.2-2.3% of particles change cell per
+step at 1.47M) to replace the two full multi-operand sorts of
+``planes.build_planes`` with mover-only work:
+
+  * the plane stack (6 pos/vel channels + 1 id channel) IS the state carried
+    across steps; flat particle arrays exist only at the API boundary;
+  * each step: detect slots whose particle left its cell (pure elementwise),
+    blank them, compact the movers out with a tile-local routing network
+    (``compact_flagged`` — no scatters/gathers), sort ONLY the movers
+    (M = N/8 capacity), route them into K''-rank arrival planes, and
+    consolidate kept+arrival ranks per cell;
+  * integration is fused into the force kernel (ops/pallas_sph
+    ``accel`` -> pos/vel planes directly), so accelerations never leave the
+    planes and the extract/stitch pass disappears from the step.
+
+Layout invariants (ops/planes.py): x halo lanes and y/z ghost regions are
+refreshed or ignored每 step; empty slots hold SENTINEL positions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.params import SimParams
+from . import planes as pm
+from . import route
+from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
+from .route import TILE, LOCAL, ROWS, OUT_ROWS, PAD_ROWS, N_BITS
+
+ARRIVAL_K = 4          # K'': max same-cell arrivals routed per step (counted
+                       # into overflow when exceeded, like cell capacity)
+
+
+def mover_capacity(n: int) -> int:
+    """Static mover-array capacity: N/8, at least one routing tile, rounded
+    up to a whole tile.  Measured mover fractions are <= 2.3% (BASELINE.md);
+    excess movers are dropped and counted in ``overflow``."""
+    return -(-max(TILE, n // 8) // TILE) * TILE
+
+
+class IncState(NamedTuple):
+    """Scan-carried state of the incremental path."""
+    fields6: jnp.ndarray     # (6, K, pz, n_bx, py, 128) x,y,z,vx,vy,vz
+    idp: jnp.ndarray         # (K, pz, n_bx, py, 128) particle id as f32
+    overflow: jnp.ndarray    # () i32, accumulated drops
+
+    @property
+    def geom_shape(self):
+        return self.fields6.shape[1:]
+
+
+# ---------------------------------------------------------------------------
+# static slot geometry
+# ---------------------------------------------------------------------------
+
+def own_cid(geom: PlaneGeom) -> jnp.ndarray:
+    """(pz, n_bx, py, 128) i32: the linear cell id of each plane column (the
+    same linearization as planes.cell_linear_parts)."""
+    shape = (geom.pz, geom.n_bx, geom.py, LANES)
+    z = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xo = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    xi = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    return ((z * geom.n_bx + xo) * geom.py + y) * LANES + xi
+
+
+def interior_mask(geom: PlaneGeom) -> jnp.ndarray:
+    """(pz, n_bx, py, 128) bool: True for real (owning) cells — excludes x
+    halo lanes, the x tail of the last tile, y ghost bands and z ghost
+    planes.  Slots outside this mask are never particle owners."""
+    shape = (geom.pz, geom.n_bx, geom.py, LANES)
+    z = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    xo = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    xi = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    gx = xo * TILE_X + xi - 1
+    ok = (xi >= 1) & (xi <= TILE_X) & (gx < geom.nx)
+    ok &= (y >= ROWS_PER_BLOCK) & (y < ROWS_PER_BLOCK + geom.ny)
+    if geom.dim == 3:
+        ok &= (z >= 1) & (z <= geom.nz)
+    return ok
+
+
+def new_cids(fields6, params: SimParams, geom: PlaneGeom, x_origin=None):
+    """Per-slot linear cell id from the position channels (elementwise
+    mirror of planes.cell_linear_parts)."""
+    lo = params.bounds_min
+    inv = 1.0 / params.cell
+
+    def axis(d, n, origin=None):
+        base = lo[d] if origin is None else origin
+        c = jnp.floor((fields6[d] - base) * inv).astype(jnp.int32)
+        return jnp.clip(c, 0, n - 1)
+
+    x = axis(0, geom.nx, x_origin)
+    xo = x // TILE_X
+    xi = x % TILE_X + 1
+    y = axis(1, geom.ny) + ROWS_PER_BLOCK
+    if geom.dim == 3:
+        z = axis(2, geom.nz) + 1
+    else:
+        z = jnp.zeros_like(x)
+    return ((z * geom.n_bx + xo) * geom.py + y) * LANES + xi
+
+
+def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
+                  x_origin=None):
+    """-> (kept6, kept_id, flags).  ``flags`` (K, pz, n_bx, py, 128) marks
+    interior slots whose particle now belongs to a different cell; kept
+    planes have those slots (and every non-interior slot) blanked."""
+    valid = (fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
+    cid = new_cids(fields6, params, geom, x_origin)
+    flags = valid & (cid != own_cid(geom)[None])
+    keep = valid & ~flags
+    kept6 = jnp.where(keep[None], fields6,
+                      jnp.where(jnp.arange(6)[:, None, None, None, None, None]
+                                < 3, SENTINEL, 0.0))
+    kept_id = jnp.where(keep, idp, -1.0)
+    return kept6, kept_id, flags
+
+
+# ---------------------------------------------------------------------------
+# flagged compaction: plane slots -> compact particle rows (no gathers)
+# ---------------------------------------------------------------------------
+
+def _cumsum_flags(flag):
+    """Exclusive prefix sum of a 0/1 i32 (ROWS, 128) tile in flat row-major
+    order (Hillis-Steele over butterfly rolls)."""
+    pos = route._flat_pos()
+    s = flag
+    d = 1
+    while d < LOCAL:
+        s = s + jnp.where(pos >= d, route._flat_roll(s, d), 0)
+        d *= 2
+    return s - flag
+
+
+def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
+                    rows_total: int):
+    """Compact the flagged slots of one routing tile into its particle run.
+
+    Grid program t handles compact tile index t (tile id prefetched);
+    programs beyond the live count are skipped.  Channel refs are flat
+    (rows_total, 128) views in ANY memory; strips land as in route.extract.
+    """
+    t = pl.program_id(0)
+    m = starts_ref[t + 1] - starts_ref[t]
+
+    ch_refs = refs[:n_ch]
+    flag_ref = refs[n_ch]
+    out_ref = refs[n_ch + 1]
+    scr = refs[n_ch + 2]            # (n_ch + 1, OUT_ROWS, 128) VMEM
+    sems = refs[n_ch + 3]
+
+    @pl.when(m > 0)
+    def _():
+        tid = tile_ids_ref[t]
+        row0 = tid * OUT_ROWS
+
+        def dma(i):
+            src = ch_refs[i] if i < n_ch else flag_ref
+            return pltpu.make_async_copy(
+                src.at[pl.ds(row0, OUT_ROWS), :],
+                scr.at[i, pl.ds(0, OUT_ROWS), :], sems.at[i])
+
+        for i in range(n_ch + 1):
+            dma(i).start()
+        for i in range(n_ch + 1):
+            dma(i).wait()
+
+        o = starts_ref[t] % LANES
+        pos = route._flat_pos()
+        pad_rows = ROWS - 1 - OUT_ROWS
+
+        def lift(x):
+            return jnp.concatenate(
+                [jnp.zeros((1, LANES), x.dtype), x,
+                 jnp.zeros((pad_rows, LANES), x.dtype)], axis=0)
+
+        flag = lift(scr[n_ch, :OUT_ROWS, :])
+        flag = jnp.where(flag > 0.5, 1.0, 0.0)
+        flagi = flag.astype(jnp.int32)
+        rank = _cumsum_flags(flagi)
+        # data sits at pos (128 + slot_local); its run target is (o + rank),
+        # rank <= slot_local and o < 128 keep every shift positive & < LOCAL
+        shift = jnp.where(flagi == 1, pos - (o + rank), 0)
+        fields = [lift(scr[i, :OUT_ROWS, :]) for i in range(n_ch)]
+        routed, _ = route.route_bwd(fields, shift, flag)
+        for i in range(n_ch):
+            out_ref[0, i, :, :] = routed[i][:PAD_ROWS, :]
+
+
+def compact_flagged(channels, flags, max_out: int, use_kernel=None):
+    """Extract flagged slots' channel values into compact rows.
+
+    channels: list of (..., total_slots reshapable) f32 arrays (same shape);
+    flags: bool array of that shape.  Returns (vals (C, max_out) in slot
+    order, count ()) — slots beyond ``max_out`` are dropped (caller counts).
+    """
+    n_ch = len(channels)
+    flat_flags = flags.reshape(-1)
+    total = flat_flags.shape[0]
+    assert total % TILE == 0, total
+    nt = total // TILE
+    rows_total = total // LANES
+    counts = jnp.sum(flat_flags.reshape(nt, TILE), axis=1, dtype=jnp.int32)
+    m_total = jnp.sum(counts)
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
+        # host path: stable argsort over the flag keys compacts in slot order
+        order = jnp.argsort(~flat_flags, stable=True)[:max_out]
+        got = jnp.arange(max_out) < m_total
+        vals = jnp.stack(
+            [jnp.where(got, c.reshape(-1)[order], 0.0) for c in channels])
+        return vals, m_total
+
+    nonempty = counts > 0
+    n_live = jnp.sum(nonempty.astype(jnp.int32))
+    # compact (tile id, start) lists so skipped tiles cost nothing and strip
+    # rows are dense in compact order (a stitch over sparse movers would
+    # otherwise DMA hundreds of empty strips per output block)
+    order = jnp.argsort(~nonempty, stable=True)
+    tile_ids = order.astype(jnp.int32)
+    counts_c = jnp.where(jnp.arange(nt) < n_live, counts[order], 0)
+    starts_c = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(counts_c, dtype=jnp.int32)])
+    starts_c = jnp.minimum(starts_c, max_out)
+
+    flat_ch = [c.reshape(rows_total, LANES) for c in channels]
+    flat_fl = flat_flags.reshape(rows_total, LANES).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_ch + 1),
+        out_specs=pl.BlockSpec(
+            (1, n_ch, PAD_ROWS, LANES), lambda t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_ch + 1, OUT_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_ch + 1,)),
+        ],
+    )
+    kernel = functools.partial(_compact_kernel, n_ch=n_ch,
+                               rows_total=rows_total)
+    strips = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, n_ch, PAD_ROWS, LANES),
+                                       jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(tile_ids, starts_c, *flat_ch, flat_fl)
+
+    n_blocks = max_out // TILE
+    p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE
+    # block b spans compact tiles [tfirst, tlast]
+    tfirst = jnp.maximum(
+        jnp.searchsorted(starts_c[1:], p0s, side="right"), 0).astype(jnp.int32)
+    tlast = jnp.clip(
+        jnp.searchsorted(starts_c[1:], p0s + TILE - 1, side="right"),
+        0, nt - 1).astype(jnp.int32)
+    tlast = jnp.maximum(tlast, tfirst)
+    flat = route.stitch(strips, starts_c, tfirst, tlast, n_blocks, None)
+    return flat, jnp.minimum(m_total, max_out)
+
+
+# ---------------------------------------------------------------------------
+# mover re-insertion
+# ---------------------------------------------------------------------------
+
+def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
+                   x_origin=None):
+    """Route the compacted movers into ARRIVAL_K-rank arrival planes.
+
+    movers: (7, M) slot-ordered mover rows (x,y,z,vx,vy,vz,id); m: live count.
+    Returns (stack (8, ARRIVAL_K, pz, n_bx, py, 128) — 7 fields + shift
+    channel — and the count of arrivals dropped for exceeding ARRIVAL_K
+    same-cell arrivals or the M capacity).
+    """
+    max_out = movers.shape[1]
+    jdx = jnp.arange(max_out, dtype=jnp.int32)
+    live = jdx < m
+    cells = geom.cells
+    gk = geom._replace(k=ARRIVAL_K)
+
+    pos = jnp.stack([movers[0], movers[1], movers[2]], axis=-1)
+    cid = pm.cell_linear_parts(pos, params, geom, x_origin)
+    cid = jnp.where(live, cid, cells)
+    # sort #1 (movers only): by target cell, all fields carried
+    out = jax.lax.sort((cid,) + tuple(movers[i] for i in range(7)),
+                       num_keys=1, is_stable=False)
+    cid_s = out[0]
+    run_start = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.where(cid_s[1:] != cid_s[:-1], jdx[1:], 0)])
+    dup = jdx - jax.lax.cummax(run_start)
+    ok = (dup < ARRIVAL_K) & (cid_s < cells)
+    dropped = jnp.sum((cid_s < cells) & ~ok).astype(jnp.int32)
+    slot = jnp.where(ok, dup * cells + cid_s, ARRIVAL_K * cells)
+    # sort #2 (movers only): by rank-major arrival slot -> monotone placement
+    out2 = jax.lax.sort((slot,) + out[1:], num_keys=1, is_stable=False)
+    slot_s = out2[0]
+
+    rows = route.pad_rows(max_out)
+    pad_len = rows * LANES - max_out
+
+    def pad2d(a, fill):
+        return jnp.pad(a, (0, pad_len),
+                       constant_values=fill).reshape(rows, LANES)
+
+    fields2d = [pad2d(c, 0.0) for c in out2[1:]]
+    slot2d = pad2d(slot_s, ARRIVAL_K * cells + route.LOCAL)
+    bases = jnp.arange(route.n_tiles(gk) + 1, dtype=jnp.int32) * TILE
+    starts = jnp.searchsorted(slot_s, bases).astype(jnp.int32)
+    stack = route.place(fields2d, slot2d, starts, gk, n_pos=3)
+    return stack, dropped
+
+
+def consolidate(kept6, kept_id, arrivals, geom: PlaneGeom):
+    """Per-cell rank compaction of kept (K ranks) + arrival (ARRIVAL_K ranks)
+    slots down to K ranks.  Also heals rank gaps left by departures, so rank
+    occupancy stays dense across steps.  Returns (fields6, idp, n_dropped).
+    """
+    k = geom.k
+    arr6 = arrivals[:6]
+    arr_id = arrivals[6]
+    ext_x = jnp.concatenate([kept6[0], arr6[0]], axis=0)     # (K+A, ...)
+    valid = ext_x < SENTINEL * 0.5
+    # exclusive running count of valid slots below each rank (unrolled: the
+    # rank axis is K + ARRIVAL_K ~ 12)
+    cnt = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid
+    new_rank = jnp.where(valid, cnt, k + ARRIVAL_K)
+    n_dropped = jnp.sum(valid & (cnt >= k)).astype(jnp.int32)
+
+    def compact(ext, fill):
+        out = []
+        for r in range(k):
+            sel = valid & (cnt == r)
+            any_r = jnp.any(sel, axis=0)
+            v = jnp.sum(jnp.where(sel, ext, 0.0), axis=0)
+            out.append(jnp.where(any_r, v, fill))
+        return jnp.stack(out, axis=0)
+
+    fields6 = jnp.stack(
+        [compact(jnp.concatenate([kept6[f], arr6[f]], axis=0),
+                 SENTINEL if f < 3 else 0.0) for f in range(6)], axis=0)
+    idp = compact(jnp.concatenate([kept_id, arr_id], axis=0), -1.0)
+    return fields6, idp, n_dropped
+
+
+# ---------------------------------------------------------------------------
+# API-boundary conversions
+# ---------------------------------------------------------------------------
+
+def to_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
+              x_origin=None) -> IncState:
+    """Full rebuild (the build_planes path) producing the carried state."""
+    table = pm.build_planes(pos, vel, ids, params, geom, x_origin=x_origin,
+                            with_ids=True)
+    planes = table.planes
+    return IncState(fields6=planes[:6], idp=planes[6],
+                    overflow=table.overflow)
+
+
+def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
+    """Planes -> flat channel rows (x,y,z,vx,vy,vz,id[,rho]) in slot order.
+
+    rho is recomputed with one density sweep when diagnostics are on (it is
+    not carried across steps).  ``n`` bounds the output capacity (valid
+    slots never exceed the particle count).
+    """
+    valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
+    channels = [state.fields6[i] for i in range(6)] + [state.idp]
+    if params.diagnostics:
+        from .pallas_sph import density_planes
+        halo6 = pm.halo_x(state.fields6)
+        occ_q, occ_s = pm.occupancy_bounds(halo6, params, geom)
+        rho_p = density_planes(halo6[:3], occ_q, occ_s, params, geom)
+        channels.append(rho_p)
+    # every valid slot is "flagged": compaction = full extraction
+    return compact_flagged(channels, valid, _round_tile(n))
+
+
+def _round_tile(n: int) -> int:
+    return -(-n // TILE) * TILE
+
+
+# ---------------------------------------------------------------------------
+# the incremental step
+# ---------------------------------------------------------------------------
+
+def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
+                m_cap: int, x_origin=None) -> IncState:
+    """One SPH step entirely in plane space.
+
+    rebin-incrementally (detect / compact movers / sort movers / route /
+    consolidate) -> halo -> occupancy -> density sweep -> fused
+    force+EOS+integrate+collide sweep.  Nothing is extracted per step.
+    """
+    from .pallas_sph import density_planes, accel_planes
+
+    kept6, kept_id, flags = detect_movers(state.fields6, state.idp,
+                                          params, geom, x_origin)
+    n_flagged = jnp.sum(flags).astype(jnp.int32)
+    channels = [state.fields6[i] for i in range(6)] + [state.idp]
+    movers, m = compact_flagged(channels, flags, m_cap)
+    lost_cap = n_flagged - m
+    arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin)
+    fields6, idp, lost_rank = consolidate(kept6, kept_id, arr, geom)
+
+    planes6 = pm.halo_x(fields6)
+    occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
+    rho_p = density_planes(planes6[:3], occ_q, occ_s, params, geom)
+    rho_h = pm.halo_x(rho_p)
+    new6 = accel_planes(planes6, rho_h, occ_q, occ_s, params, geom,
+                        fuse_integrate=True)
+    overflow = state.overflow + lost_cap + lost_dup + lost_rank
+    return IncState(fields6=new6, idp=idp, overflow=overflow)
+
+
+# ---------------------------------------------------------------------------
+# flat-state entry points (solver registry / run)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("params", "n_steps", "n"))
+def _run_inc(pos, vel, ids, overflow0, params: SimParams, n_steps: int,
+             n: int):
+    geom = pm.geometry(params)
+    m_cap = mover_capacity(n)
+    state0 = to_planes(pos, vel, ids, params, geom)
+    state0 = state0._replace(overflow=state0.overflow + overflow0)
+
+    def body(s, _):
+        return step_planes(s, params, geom, m_cap), None
+
+    stateN = jax.lax.scan(body, state0, None, length=n_steps)[0]
+    vals, cnt = to_flat(stateN, params, geom, n)
+    return vals, cnt, stateN.overflow
+
+
+def run_inc(state, params: SimParams, n_steps: int):
+    """models.State -> models.State after n_steps on the incremental path.
+
+    The whole rollout (conversion + scan + extraction) is one jitted device
+    program.  Slots lost to overflow (counted in ``state.overflow``) leave
+    parked rows at the array tail (pos=bounds corner, vel=0, ids=-1).
+    """
+    from ..models.state import State
+
+    n = state.n
+    vals, cnt, overflow = _run_inc(state.pos, state.vel, state.ids,
+                                   state.overflow, params, n_steps, n)
+    live = jnp.arange(vals.shape[1], dtype=jnp.int32) < cnt
+    lo = jnp.asarray(params.bounds_min, jnp.float32)
+    dim = params.dim
+    pos = jnp.stack([jnp.where(live, vals[d], lo[d])
+                     for d in range(dim)], axis=-1)[:n]
+    vel = jnp.stack([jnp.where(live, vals[3 + d], 0.0)
+                     for d in range(dim)], axis=-1)[:n]
+    ids = jnp.where(live, vals[6].astype(jnp.int32), -1)[:n]
+    if params.diagnostics:
+        rho = jnp.where(live, vals[7], params.rest_density)[:n]
+        pres = physics_eos(rho, params)
+    else:
+        rho = jnp.full((n,), params.rest_density, jnp.float32)
+        pres = jnp.zeros((n,), jnp.float32)
+    return State(pos=pos, vel=vel, rho=rho, pres=pres, ids=ids,
+                 overflow=overflow)
+
+
+def physics_eos(rho, params):
+    from . import physics
+    return physics.eos_pressure(
+        jnp.maximum(rho, 1e-3 * params.rest_density), params)

@@ -143,7 +143,8 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
 # --------------------------------------------------------------------------
 
 def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
-                  geom: PlaneGeom):
+                  geom: PlaneGeom, fuse_integrate: bool = False,
+                  wall_params: SimParams = None):
     """Fused pressure-gradient + viscosity sweep.
 
     Inputs arrive as TWO window groups — the 6-channel pos/vel plane stack
@@ -151,7 +152,11 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     materializes a concatenated 7-channel stack in HBM).  Window channel
     order after the fused EOS pass:
       0:x 1:y 2:z 3:vx 4:vy 5:vz 6:m_spiky*p/rho^2 7:m_visc_sqrt/rho
-    Output: (3, K, 1, 8, 128) acceleration block (gravity added outside).
+    Output: (3, K, 1, 8, 128) acceleration block (gravity added outside),
+    or with ``fuse_integrate`` the (6, ...) post-step pos/vel block:
+    symplectic Euler + gravity + wall/obstacle collide run in-kernel on the
+    query tiles (the incremental path, ops/inc.py — accelerations then never
+    leave the planes).
     """
     dzs, dys, dxs = _stencil(params.dim)
     n_in = 3 * len(dzs)
@@ -262,9 +267,30 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 shift = (-dx) % LANES
                 for c in range(3):
                     out[c] = out[c] + pltpu.roll(acc[dx][c], shift, axis=1)
-            acc_ref[0, k1, 0, 0, :, :] = out[0]
-            acc_ref[1, k1, 0, 0, :, :] = out[1]
-            acc_ref[2, k1, 0, 0, :, :] = out[2]
+            if not fuse_integrate:
+                acc_ref[0, k1, 0, 0, :, :] = out[0]
+                acc_ref[1, k1, 0, 0, :, :] = out[1]
+                acc_ref[2, k1, 0, 0, :, :] = out[2]
+                return 0
+            # fused symplectic Euler + collide on the query tiles
+            wp = wall_params or params
+            dt = jnp.float32(params.dt)
+            grav = params.gravity + (0.0,) * (3 - params.dim)
+            valid_q = q0[0] < pm.SENTINEL * 0.5
+            vnew = [q0[3 + c] + (out[c] + jnp.float32(grav[c])) * dt
+                    for c in range(params.dim)]
+            pnew = [q0[c] + vnew[c] * dt for c in range(params.dim)]
+            pnew, vnew = physics.collide_axes(pnew, vnew, wp)
+            for c in range(params.dim):
+                acc_ref[c, k1, 0, 0, :, :] = jnp.where(
+                    valid_q, pnew[c], pm.SENTINEL)
+                acc_ref[3 + c, k1, 0, 0, :, :] = jnp.where(
+                    valid_q, vnew[c], 0.0)
+            if params.dim == 2:
+                acc_ref[2, k1, 0, 0, :, :] = jnp.where(
+                    valid_q, q0[2], pm.SENTINEL)
+                acc_ref[5, k1, 0, 0, :, :] = jnp.zeros(
+                    (ROWS_PER_BLOCK, LANES), jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, occ_q, q_loop, 0)
@@ -272,8 +298,15 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     def fill_loop(k1, _):
         @pl.when(k1 >= occ_q)
         def _():
-            acc_ref[:, k1, 0, 0, :, :] = jnp.zeros(
-                (3, ROWS_PER_BLOCK, LANES), jnp.float32)
+            if fuse_integrate:
+                for c in range(3):
+                    acc_ref[c, k1, 0, 0, :, :] = jnp.full(
+                        (ROWS_PER_BLOCK, LANES), pm.SENTINEL, jnp.float32)
+                acc_ref[3:6, k1, 0, 0, :, :] = jnp.zeros(
+                    (3, ROWS_PER_BLOCK, LANES), jnp.float32)
+            else:
+                acc_ref[:, k1, 0, 0, :, :] = jnp.zeros(
+                    (3, ROWS_PER_BLOCK, LANES), jnp.float32)
         return 0
     jax.lax.fori_loop(0, geom.k, fill_loop, 0)
 
@@ -358,10 +391,17 @@ def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
 
 
 def accel_planes(field_planes, rho_planes, occ_q, occ_s,
-                 params: SimParams, geom: PlaneGeom):
+                 params: SimParams, geom: PlaneGeom,
+                 fuse_integrate: bool = False,
+                 wall_params: SimParams = None):
     """(6, K, pz, n_bx, py, 128) pos/vel planes + (K, pz, n_bx, py, 128)
     density planes -> (3, ...) acceleration (pressure + viscosity; gravity
-    NOT included).  The EOS runs fused inside the kernel."""
+    NOT included).  The EOS runs fused inside the kernel.
+
+    With ``fuse_integrate``: -> (6, ...) post-integration pos/vel planes
+    (gravity, symplectic Euler and collide all in-kernel); ghost blocks are
+    left unwritten — the incremental path masks them by interior region.
+    """
     n_dz = 3 if geom.dim == 3 else 1
     grid, in_specs = _grid_and_specs(geom, 6)
 
@@ -383,23 +423,26 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
                 memory_space=pltpu.VMEM)
 
         rho_specs = [mk_rho(j) for j in (0, 1, 2)]
+    n_out = 6 if fuse_integrate else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs + rho_specs,
         out_specs=pl.BlockSpec(
-            (3, geom.k, 1, 1, ROWS_PER_BLOCK, LANES), _out_index(geom, 1),
+            (n_out, geom.k, 1, 1, ROWS_PER_BLOCK, LANES), _out_index(geom, 1),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM(
             (n_dz, 8, geom.k, ROWS_PER_BLOCK + 2, LANES), jnp.float32)],
     )
-    kernel = functools.partial(_force_kernel, params=params, geom=geom)
+    kernel = functools.partial(_force_kernel, params=params, geom=geom,
+                               fuse_integrate=fuse_integrate,
+                               wall_params=wall_params)
     n_copies = len(in_specs)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (3, geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
+            (n_out, geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
         interpret=_interpret(),
     )(occ_q.reshape(-1), occ_s.reshape(-1),
       *([field_planes] * n_copies), *([rho_planes] * n_copies))

@@ -106,3 +106,64 @@ def integrate(pos, vel, acc, params: SimParams):
     vel = vel + acc * params.dt
     pos = pos + vel * params.dt
     return collide(pos, vel, params)
+
+
+def collide_axes(ps, vs, params: SimParams):
+    """``collide`` on axis-separated component lists (same math, same op
+    order).  Used inside Pallas kernels, where positions live as per-axis
+    (8, 128) tiles and a trailing component axis would wreck the layout.
+    """
+    dim = len(ps)
+    lo, hi = params.bounds_min, params.bounds_max
+    damp = -params.restitution
+    ps = list(ps)
+    vs = list(vs)
+    for d in range(dim):
+        hit = (ps[d] < lo[d]) | (ps[d] > hi[d])
+        vs[d] = jnp.where(hit, vs[d] * damp, vs[d])
+        ps[d] = jnp.clip(ps[d], lo[d], hi[d])
+
+    for ob in params.obstacles:
+        kind = ob[0]
+        if kind == "sphere":
+            _, center, radius = ob
+            dvec = [ps[d] - center[d] for d in range(dim)]
+            r = jnp.sqrt(sum(x * x for x in dvec) + 1e-20)
+            sdf = r - radius
+            n = [x / r for x in dvec]
+        elif kind == "box":
+            _, center, half = ob
+            q = [jnp.abs(ps[d] - center[d]) - half[d] for d in range(dim)]
+            qmax = q[0]
+            for d in range(1, dim):
+                qmax = jnp.maximum(qmax, q[d])
+            outside = [jnp.maximum(x, 0.0) for x in q]
+            sdf_out = jnp.sqrt(sum(x * x for x in outside) + 1e-20)
+            sgn = [jnp.sign(ps[d] - center[d]) for d in range(dim)]
+            n_out = [outside[d] * sgn[d] / (sdf_out + 1e-20)
+                     for d in range(dim)]
+            # inside normal: FIRST axis attaining the max (argmax semantics)
+            taken = None
+            is_max = []
+            for d in range(dim):
+                m = q[d] == qmax
+                if taken is not None:
+                    m = m & ~taken
+                taken = m if taken is None else (taken | m)
+                is_max.append(m)
+            is_out = qmax > 0.0
+            sdf = jnp.where(is_out, sdf_out, jnp.minimum(qmax, 0.0))
+            n = [jnp.where(is_out, n_out[d],
+                           jnp.where(is_max[d], sgn[d], 0.0))
+                 for d in range(dim)]
+        else:
+            raise ValueError(f"unknown obstacle kind {kind!r}")
+        inside = sdf < 0.0
+        ps = [jnp.where(inside, ps[d] - sdf * n[d], ps[d])
+              for d in range(dim)]
+        vn = sum(vs[d] * n[d] for d in range(dim))
+        reflect = inside & (vn < 0.0)
+        dv = (1.0 + params.restitution) * vn
+        vs = [jnp.where(reflect, vs[d] - dv * n[d], vs[d])
+              for d in range(dim)]
+    return ps, vs

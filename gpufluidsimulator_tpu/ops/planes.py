@@ -135,12 +135,15 @@ N_POS_FIELDS = 3
 
 
 def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
-                 x_origin=None, active=None) -> PlaneTable:
+                 x_origin=None, active=None, with_ids=False) -> PlaneTable:
     """Bin particles into rank planes (sort_by_key + reorder analog).
 
     ``active`` (N,) bool marks live particles; inactive rows (the sharded
     path's free-capacity slots) sort to the end, bind to no cell, and are
-    excluded from the overflow count.
+    excluded from the overflow count.  ``with_ids`` adds the particle id as
+    a 7th f32 plane channel (the incremental path carries identity in the
+    planes themselves; empty slots are identified by the x-channel sentinel,
+    never by id).
     """
     n = pos.shape[0]
     k = geom.k
@@ -203,19 +206,24 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
                        constant_values=fill).reshape(rows, LANES)
 
     fields2d = [pad2d(c, 0.0) for c in pos_cols + vel_cols]
+    if with_ids:
+        fields2d.append(pad2d(ids_s.astype(jnp.float32), 0.0))
     slot2d = pad2d(slot, k * cells + route.LOCAL)
     bases = jnp.arange(route.n_tiles(geom) + 1, dtype=jnp.int32) * route.TILE
     starts = jnp.searchsorted(slot, bases).astype(jnp.int32)
     stack = route.place(fields2d, slot2d, starts, geom, n_pos=dim)
 
+    nf = 2 * dim
     if dim == 3:
-        planes = stack[:6]
-        shifts = stack[6]
+        planes = stack[:nf + (1 if with_ids else 0)]
+        shifts = stack[-1]
     else:
         zero = jnp.zeros_like(stack[0])[None]
-        planes = jnp.concatenate(
-            [stack[0:2], zero, stack[2:4], zero], axis=0)
-        shifts = stack[4]
+        parts = [stack[0:2], zero, stack[2:4], zero]
+        if with_ids:
+            parts.append(stack[4:5])
+        planes = jnp.concatenate(parts, axis=0)
+        shifts = stack[-1]
     planes = halo_x(planes)
 
     return PlaneTable(planes=planes, slot=slot, ok=ok,

@@ -1,0 +1,176 @@
+"""Incremental-binning path (ops/inc.py): mover detection, flagged
+compaction, mover re-insertion/consolidation, the fused
+force+integrate kernel, and full-step equivalence with the full-rebuild
+pallas path (SURVEY.md §4.3 oracle strategy applied to the new tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpufluidsimulator_tpu import scenes
+from gpufluidsimulator_tpu.models import solver
+from gpufluidsimulator_tpu.ops import inc, physics
+from gpufluidsimulator_tpu.ops import planes as pm
+
+
+def _scene(n=700, dim=2, seed=3, jitter=0.3):
+    return scenes.dam_break(n=n, dim=dim, jitter=jitter, seed=seed)
+
+
+def _cell_id_sets(fields6, idp, geom):
+    """{cell: frozenset(ids)} from a plane stack (interior slots only)."""
+    valid = np.asarray((fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    ids = np.asarray(idp)
+    out = {}
+    k = valid.shape[0]
+    flat_v = valid.reshape(k, -1)
+    flat_i = ids.reshape(k, -1)
+    for c in np.nonzero(flat_v.any(axis=0))[0]:
+        out[int(c)] = frozenset(int(flat_i[r, c]) for r in range(k)
+                                if flat_v[r, c])
+    return out
+
+
+def test_fresh_state_has_no_movers():
+    params, state = _scene()
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    _, _, flags = inc.detect_movers(s.fields6, s.idp, params, geom)
+    assert int(jnp.sum(flags)) == 0
+    assert int(s.overflow) == 0
+
+
+def test_compact_flagged_matches_host_path():
+    params, state = _scene(n=500)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    rng = np.random.default_rng(0)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    flags = jnp.asarray(valid & (rng.random(valid.shape) < 0.3))
+    channels = [s.fields6[i] for i in range(6)] + [s.idp]
+    cap = inc._round_tile(state.n)
+    v_host, m_host = inc.compact_flagged(channels, flags, cap,
+                                         use_kernel=False)
+    v_kern, m_kern = inc.compact_flagged(channels, flags, cap,
+                                         use_kernel=True)
+    assert int(m_host) == int(m_kern) == int(np.sum(np.asarray(flags)))
+    m = int(m_host)
+    np.testing.assert_array_equal(np.asarray(v_host)[:, :m],
+                                  np.asarray(v_kern)[:, :m])
+
+
+def test_incremental_rebin_matches_full_rebuild():
+    """Perturb positions, rebin incrementally, compare per-cell id sets with
+    a from-scratch build_planes of the same positions."""
+    params, state = _scene(n=900, dim=2)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+
+    # push particles by up to ~0.7 cells so a healthy fraction change cell
+    rng = np.random.default_rng(1)
+    delta = (rng.random(np.asarray(state.pos).shape) - 0.5) * 1.4 * params.cell
+    new_pos = jnp.clip(jnp.asarray(np.asarray(state.pos) + delta, jnp.float32),
+                       jnp.asarray(params.bounds_min, jnp.float32),
+                       jnp.asarray(params.bounds_max, jnp.float32))
+
+    # write the perturbed positions into the plane state (slot-aligned):
+    # extract ids per slot, look up each slot's new position by id
+    ids_slot = np.asarray(s.idp).astype(np.int64)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    f6 = np.asarray(s.fields6).copy()
+    npos = np.asarray(new_pos)
+    for d in range(params.dim):
+        ch = f6[d]
+        ch[valid] = npos[ids_slot[valid].astype(int), d]
+        f6[d] = ch
+    s2 = inc.IncState(fields6=jnp.asarray(f6), idp=s.idp,
+                      overflow=s.overflow)
+
+    kept6, kept_id, flags = inc.detect_movers(s2.fields6, s2.idp,
+                                              params, geom)
+    n_moved = int(jnp.sum(flags))
+    assert n_moved > 20, "perturbation should move a real fraction"
+    channels = [s2.fields6[i] for i in range(6)] + [s2.idp]
+    movers, m = inc.compact_flagged(channels, flags,
+                                    inc.mover_capacity(state.n))
+    assert int(m) == n_moved
+    arr, lost_dup = inc.arrival_planes(movers, m, params, geom)
+    fields6, idp, lost_rank = inc.consolidate(kept6, kept_id, arr, geom)
+    assert int(lost_dup) == 0 and int(lost_rank) == 0
+
+    ref = pm.build_planes(new_pos, state.vel, state.ids, params, geom,
+                          with_ids=True)
+    got = _cell_id_sets(fields6, idp, geom)
+    want = _cell_id_sets(ref.planes[:6], ref.planes[6], geom)
+    assert got == want
+
+
+def test_fused_integrate_matches_separate():
+    params, state = _scene(n=800, dim=2)
+    params = params.replace(obstacles=(("box", (0.5, 0.2), (0.1, 0.1)),))
+    geom = pm.geometry(params)
+    from gpufluidsimulator_tpu.ops.pallas_sph import (accel_planes,
+                                                      density_planes)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    planes6 = pm.halo_x(s.fields6)
+    occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
+    rho = pm.halo_x(density_planes(planes6[:3], occ_q, occ_s, params, geom))
+    acc = accel_planes(planes6, rho, occ_q, occ_s, params, geom)
+    fused = accel_planes(planes6, rho, occ_q, occ_s, params, geom,
+                         fuse_integrate=True)
+
+    valid = np.asarray((planes6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    grav = np.asarray(params.gravity + (0.0,) * (3 - params.dim))
+    pos_p = np.stack([np.asarray(planes6[d]) for d in range(params.dim)], -1)
+    vel_p = np.stack([np.asarray(planes6[3 + d])
+                      for d in range(params.dim)], -1)
+    acc_p = np.stack([np.asarray(acc[d]) for d in range(params.dim)], -1)
+    p_ref, v_ref = physics.integrate(
+        jnp.asarray(pos_p.reshape(-1, params.dim)),
+        jnp.asarray(vel_p.reshape(-1, params.dim)),
+        jnp.asarray(acc_p.reshape(-1, params.dim))
+        + jnp.asarray(grav[:params.dim]), params)
+    p_ref = np.asarray(p_ref).reshape(pos_p.shape)
+    v_ref = np.asarray(v_ref).reshape(vel_p.shape)
+    for d in range(params.dim):
+        np.testing.assert_allclose(np.asarray(fused[d])[valid],
+                                   p_ref[..., d][valid], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fused[3 + d])[valid],
+                                   v_ref[..., d][valid], atol=1e-6)
+    # empty interior slots stay sentinel
+    empty = np.asarray(~valid & inc.interior_mask(geom)[None].repeat(
+        geom.k, axis=0))
+    assert np.all(np.asarray(fused[0])[empty] >= pm.SENTINEL * 0.5)
+
+
+@pytest.mark.parametrize("dim,n,steps", [(2, 900, 30), (3, 1200, 12)])
+def test_run_inc_matches_pallas(dim, n, steps):
+    params, state = _scene(n=n, dim=dim)
+    ref = solver.run(state, params, steps, method="pallas")
+    got = solver.run(state, params, steps, method="pallas_inc")
+    assert int(got.overflow) == 0
+    assert not bool(jnp.any(jnp.isnan(got.pos)))
+    # align by particle identity (both paths permute rows)
+    ri = np.argsort(np.asarray(ref.ids))
+    gi = np.argsort(np.asarray(got.ids))
+    np.testing.assert_allclose(np.asarray(got.pos)[gi],
+                               np.asarray(ref.pos)[ri],
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.vel)[gi],
+                               np.asarray(ref.vel)[ri],
+                               rtol=0, atol=5e-3)
+
+
+def test_run_inc_via_facade():
+    from gpufluidsimulator_tpu import FluidSim
+    params, state = _scene(n=600, dim=2)
+    sim = FluidSim(params, state, method="pallas_inc")
+    sim.step(5)
+    p = sim.get_positions()
+    assert np.isfinite(p).all()
+    assert int(sim.state.overflow) == 0
