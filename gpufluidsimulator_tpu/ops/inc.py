@@ -329,16 +329,24 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     return stack, dropped
 
 
-def consolidate(kept6, kept_id, arrivals, geom: PlaneGeom):
+def consolidate(kept6, kept_id, arrivals, geom: PlaneGeom,
+                mask_interior: bool = False):
     """Per-cell rank compaction of kept (K ranks) + arrival (ARRIVAL_K ranks)
     slots down to K ranks.  Also heals rank gaps left by departures, so rank
     occupancy stays dense across steps.  Returns (fields6, idp, n_dropped).
+
+    ``mask_interior``: additionally treat every non-interior slot as empty —
+    the fused force kernel leaves ghost blocks unwritten (garbage), and its
+    stepped x-halo-lane copies are stale; this pass is where both get
+    re-sanitized each step (halo_x then refreshes the halo lanes).
     """
     k = geom.k
     arr6 = arrivals[:6]
     arr_id = arrivals[6]
     ext_x = jnp.concatenate([kept6[0], arr6[0]], axis=0)     # (K+A, ...)
     valid = ext_x < SENTINEL * 0.5
+    if mask_interior:
+        valid = valid & interior_mask(geom)[None]
     # exclusive running count of valid slots below each rank (unrolled: the
     # rank axis is K + ARRIVAL_K ~ 12)
     cnt = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid
@@ -402,33 +410,60 @@ def _round_tile(n: int) -> int:
 # the incremental step
 # ---------------------------------------------------------------------------
 
+def stage_movers(stage, m_cap: int):
+    """(9, K, gz, n_bx, n_by, 128) force-kernel staging buffer ->
+    ((7, m_cap) mover rows, live count, staged total, lost-at-staging count).
+
+    Channel 7 flags live mover lanes, channel 8 carries (at lane 0 of each
+    (rank, block) row) the count of movers that exceeded the row's 128-lane
+    staging capacity.  The compaction runs over 1/8 of the plane slot space
+    (one 128-lane row per (rank, 8x128 block)) — this is what makes the v2
+    path cheaper than v1's full-slot-space compaction (BASELINE.md).
+    """
+    lost_lanes = jnp.sum(stage[8]).astype(jnp.int32)
+    staged_total = jnp.sum(stage[7]).astype(jnp.int32)
+    flat = [s.reshape(-1, LANES) for s in stage[:7]]
+    flags = stage[7].reshape(-1, LANES) > 0.5
+    rows = flags.shape[0]
+    prows = -(-rows // OUT_ROWS) * OUT_ROWS
+    if prows != rows:
+        padcfg = ((0, prows - rows), (0, 0))
+        flat = [jnp.pad(f, padcfg) for f in flat]
+        flags = jnp.pad(flags, padcfg)
+    movers, m = compact_flagged(flat, flags, m_cap)
+    return movers, m, staged_total, lost_lanes
+
+
 def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
                 m_cap: int, x_origin=None) -> IncState:
-    """One SPH step entirely in plane space.
+    """One SPH step entirely in plane space (v2: in-kernel mover emission).
 
-    rebin-incrementally (detect / compact movers / sort movers / route /
-    consolidate) -> halo -> occupancy -> density sweep -> fused
-    force+EOS+integrate+collide sweep.  Nothing is extracted per step.
+    halo -> occupancy -> density sweep -> fused force+EOS+integrate+collide
+    sweep, whose epilogue detects, blanks, and stages cell-leaving particles
+    while their post-step coordinates are still in VMEM (pallas_sph
+    ``emit_movers``) -> compact staged movers -> sort/route into arrival
+    planes -> consolidate.  The carried planes are always consolidated
+    (clean), and the only dense full-stack passes are consolidate + the two
+    sweeps — v1's standalone detect/compact over the full slot space measured
+    44.3 ms vs 42.1 full-rebuild @1.2M (BASELINE.md).
     """
     from .pallas_sph import density_planes, accel_planes
+    assert x_origin is None, "sharded incremental path not wired yet"
 
-    kept6, kept_id, flags = detect_movers(state.fields6, state.idp,
-                                          params, geom, x_origin)
-    n_flagged = jnp.sum(flags).astype(jnp.int32)
-    channels = [state.fields6[i] for i in range(6)] + [state.idp]
-    movers, m = compact_flagged(channels, flags, m_cap)
-    lost_cap = n_flagged - m
-    arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin)
-    fields6, idp, lost_rank = consolidate(kept6, kept_id, arr, geom)
-
-    planes6 = pm.halo_x(fields6)
+    planes6 = pm.halo_x(state.fields6)
     occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
     rho_p = density_planes(planes6[:3], occ_q, occ_s, params, geom)
     rho_h = pm.halo_x(rho_p)
-    new6 = accel_planes(planes6, rho_h, occ_q, occ_s, params, geom,
-                        fuse_integrate=True)
-    overflow = state.overflow + lost_cap + lost_dup + lost_rank
-    return IncState(fields6=new6, idp=idp, overflow=overflow)
+    new6, kid, stage = accel_planes(planes6, rho_h, occ_q, occ_s, params,
+                                    geom, fuse_integrate=True,
+                                    idp=state.idp, emit_movers=True)
+    movers, m, staged_total, lost_lanes = stage_movers(stage, m_cap)
+    arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin)
+    fields6, idp, lost_rank = consolidate(new6, kid, arr, geom,
+                                          mask_interior=True)
+    overflow = (state.overflow + lost_lanes + (staged_total - m)
+                + lost_dup + lost_rank)
+    return IncState(fields6=fields6, idp=idp, overflow=overflow)
 
 
 # ---------------------------------------------------------------------------

@@ -56,20 +56,20 @@ def pad_rows(n: int) -> int:
     return -(-(n + LOCAL) // LANES)
 
 
-def _flat_pos():
-    return (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+def _flat_pos(rows: int = ROWS):
+    return (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
 
 
 def _flat_roll(x, d: int):
-    """Roll a (ROWS, 128) tile by +d in flattened row-major order."""
+    """Roll a (rows, 128) tile by +d in flattened row-major order."""
     q, s = divmod(d, LANES)
     if s == 0:
-        return pltpu.roll(x, q % ROWS, axis=0)
+        return pltpu.roll(x, q % x.shape[0], axis=0)
     a = pltpu.roll(x, s, axis=1)
     hi = pltpu.roll(a, q + 1, axis=0)
     lo = pltpu.roll(a, q, axis=0) if q else a
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(lane < s, hi, lo)
 
 
@@ -239,6 +239,42 @@ def route_bwd(fields, shift, flag):
                           jnp.where(move, 0, shift))
         flag = jnp.where(arrive, 1.0, jnp.where(move, 0.0, flag))
     return fields, flag
+
+
+def compact_tile(fields, flag, rows: int):
+    """Compact flagged elements of (rows, 128) tiles to the front, in flat
+    row-major order, entirely in registers (for use INSIDE kernels on small
+    spaces — the force kernel's mover staging uses rows=8).
+
+    The LSB-first inverse network (route_bwd) tolerates gaps between flagged
+    elements, so this is plain extraction: the element with exclusive
+    flag-rank r lands at flat position r.  Returns (routed fields, arrived
+    flag as f32 0/1).
+    """
+    local = rows * LANES
+    n_bits = local.bit_length() - 1
+    pos = _flat_pos(rows)
+    flagi = flag.astype(jnp.int32)
+    s = flagi
+    d = 1
+    while d < local:                       # inclusive prefix sum of flags
+        s = s + jnp.where(pos >= d, _flat_roll(s, d), 0)
+        d *= 2
+    rank = s - flagi                       # exclusive rank = target position
+    shift = jnp.where(flagi == 1, pos - rank, 0)
+    flagf = flagi.astype(jnp.float32)
+    for b in range(n_bits):
+        d = 1 << b
+        move = (flagf > 0.5) & (((shift >> b) & 1) == 1)
+        movef = move.astype(jnp.float32)
+        back = local - d
+        arrive = (_flat_roll(movef, back) > 0.5) & (pos < local - d)
+        fields = [jnp.where(arrive, _flat_roll(x, back),
+                            jnp.where(move, 0.0, x)) for x in fields]
+        shift = jnp.where(arrive, _flat_roll(shift, back),
+                          jnp.where(move, 0, shift))
+        flagf = jnp.where(arrive, 1.0, jnp.where(move, 0.0, flagf))
+    return fields, flagf
 
 
 def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,

@@ -1,6 +1,7 @@
-"""Tight full-step timing @N for A/B of route flags.
+"""Tight full-step timing @N for A/B of route flags / methods.
 
-Usage: [FS_ROUTE_*=0/1] python scripts/ab_step.py [N] [dim] [warm]
+Usage: [FS_ROUTE_*=0/1] python scripts/ab_step.py [N] [dim] [warm] [method]
+method: pallas (default) | pallas_inc (slope-times the planes-resident step)
 """
 
 from __future__ import annotations
@@ -25,13 +26,24 @@ def main():
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     warm = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 
+    method = sys.argv[4] if len(sys.argv) > 4 else "pallas"
+
     params, state = scenes.double_dam_break(n=n, dim=dim)
     params = params.replace(diagnostics=False)
     state = solver.run(state, params, warm, method="pallas")
     jax.block_until_ready(state.pos)
-    fn = solver._METHODS["pallas"]
-    t = slope_time(lambda s: fn(s, params), state, k1=3, k2=23, reps=3)
-    print(f"N={state.n}  step={t*1e3:.2f} ms  "
+    if method == "pallas_inc":
+        from gpufluidsimulator_tpu.ops import inc
+        from gpufluidsimulator_tpu.ops import planes as pm
+        geom = pm.geometry(params)
+        m_cap = inc.mover_capacity(state.n)
+        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+        t = slope_time(lambda s: inc.step_planes(s, params, geom, m_cap),
+                       s0, k1=3, k2=23, reps=3)
+    else:
+        fn = solver._METHODS[method]
+        t = slope_time(lambda s: fn(s, params), state, k1=3, k2=23, reps=3)
+    print(f"N={state.n}  method={method}  step={t*1e3:.2f} ms  "
           f"({state.n/t:.3e} particle-steps/s)", flush=True)
 
 

@@ -148,6 +148,57 @@ def test_fused_integrate_matches_separate():
     assert np.all(np.asarray(fused[0])[empty] >= pm.SENTINEL * 0.5)
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_emit_movers_matches_detect(dim):
+    """The force kernel's in-VMEM mover emission (emit_movers) must agree
+    with the standalone detect_movers pass applied to the plain fused
+    output: same kept planes on interior slots, same mover id set."""
+    from gpufluidsimulator_tpu.ops.pallas_sph import (accel_planes,
+                                                      density_planes)
+    params, state = _scene(n=800 if dim == 2 else 1000, dim=dim)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    planes6 = pm.halo_x(s.fields6)
+    occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
+    rho = pm.halo_x(density_planes(planes6[:3], occ_q, occ_s, params, geom))
+    fused = accel_planes(planes6, rho, occ_q, occ_s, params, geom,
+                         fuse_integrate=True)
+    new6, kid, stage = accel_planes(planes6, rho, occ_q, occ_s, params,
+                                    geom, fuse_integrate=True,
+                                    idp=s.idp, emit_movers=True)
+    kept6, kept_id, flags = inc.detect_movers(fused, s.idp, params, geom)
+    assert int(jnp.sum(flags)) > 5, "scene should produce some movers"
+
+    im = np.broadcast_to(np.asarray(inc.interior_mask(geom))[None],
+                         np.asarray(kept6[0]).shape)
+    for ch in range(6):
+        np.testing.assert_array_equal(np.asarray(new6[ch])[im],
+                                      np.asarray(kept6[ch])[im])
+    np.testing.assert_array_equal(np.asarray(kid)[im],
+                                  np.asarray(kept_id)[im])
+
+    st = np.asarray(stage)
+    got = set(st[6][st[7] > 0.5].astype(int))
+    want = set(np.asarray(s.idp)[np.asarray(flags)].astype(int))
+    assert got == want
+    assert float(np.sum(st[8])) == 0.0
+    # staged coordinates are the post-step (blanked) values
+    flag_lanes = st[7] > 0.5
+    fused_np = np.asarray(fused)
+    by_id = {}
+    fl = np.asarray(flags)
+    for ch in range(6):
+        v = np.asarray(fused_np[ch])[fl]
+        i = np.asarray(s.idp)[fl].astype(int)
+        for a, b in zip(i, v):
+            by_id.setdefault(int(a), []).append(float(b))
+    for ch in range(6):
+        vals = st[ch][flag_lanes]
+        ids = st[6][flag_lanes].astype(int)
+        for pid, v in zip(ids, vals):
+            assert abs(by_id[pid][ch] - float(v)) == 0.0
+
+
 @pytest.mark.parametrize("dim,n,steps", [(2, 900, 30), (3, 1200, 12)])
 def test_run_inc_matches_pallas(dim, n, steps):
     params, state = _scene(n=n, dim=dim)
