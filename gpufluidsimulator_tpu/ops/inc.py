@@ -329,28 +329,79 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     return stack, dropped
 
 
-def consolidate(kept6, kept_id, arrivals, geom: PlaneGeom,
-                mask_interior: bool = False):
-    """Per-cell rank compaction of kept (K ranks) + arrival (ARRIVAL_K ranks)
-    slots down to K ranks.  Also heals rank gaps left by departures, so rank
-    occupancy stays dense across steps.  Returns (fields6, idp, n_dropped).
-
-    ``mask_interior``: additionally treat every non-interior slot as empty —
-    the fused force kernel leaves ghost blocks unwritten (garbage), and its
-    stepped x-halo-lane copies are stale; this pass is where both get
-    re-sanitized each step (halo_x then refreshes the halo lanes).
-    """
+def _consolidate_kernel(new6_ref, idp_ref, flag_ref, arr_ref,
+                        out6_ref, oid_ref, drop_ref, *, geom: PlaneGeom):
+    """Per-block rank compaction: kept (K ranks, movers flagged out) +
+    arrival (ARRIVAL_K ranks) slots down to K dense ranks, in VMEM with
+    static rank indexing.  (The XLA formulation of the same select-sum
+    materializes ~96 full-slot-space intermediates and measured 18.1 ms
+    @1.47M — HBM-bound on temporaries, not compute; BASELINE.md.)"""
     k = geom.k
-    arr6 = arrivals[:6]
-    arr_id = arrivals[6]
-    ext_x = jnp.concatenate([kept6[0], arr6[0]], axis=0)     # (K+A, ...)
-    valid = ext_x < SENTINEL * 0.5
-    if mask_interior:
-        valid = valid & interior_mask(geom)[None]
-    # exclusive running count of valid slots below each rank (unrolled: the
-    # rank axis is K + ARRIVAL_K ~ 12)
+    a_k = ARRIVAL_K
+    if geom.dim == 3:
+        bz, bx, byb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    else:
+        bz = 0
+        bx, byb = pl.program_id(0), pl.program_id(1)
+    shape = (ROWS_PER_BLOCK, LANES)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gx = bx * TILE_X + lane - 1
+    inter = (lane >= 1) & (lane <= TILE_X) & (gx < geom.nx)
+    gy = byb * ROWS_PER_BLOCK + row
+    inter &= (gy >= ROWS_PER_BLOCK) & (gy < ROWS_PER_BLOCK + geom.ny)
+    if geom.dim == 3:
+        inter &= (bz >= 1) & (bz <= geom.nz)
+
+    # validity + exclusive running count per in-rank (kept ranks first, then
+    # arrival ranks — same order as the jnp reference's concatenation)
+    valids, cnts = [], []
+    cnt = jnp.zeros(shape, jnp.int32)
+    for r in range(k):
+        v = (new6_ref[0, r, 0, 0, :, :] < SENTINEL * 0.5) & inter \
+            & (flag_ref[r, 0, 0, :, :] < 0.5)
+        valids.append(v)
+        cnts.append(cnt)
+        cnt = cnt + v.astype(jnp.int32)
+    for a in range(a_k):
+        v = (arr_ref[0, a, 0, 0, :, :] < SENTINEL * 0.5) & inter
+        valids.append(v)
+        cnts.append(cnt)
+        cnt = cnt + v.astype(jnp.int32)
+    total = cnt
+
+    def src(f, i):
+        if i < k:
+            if f < 6:
+                return new6_ref[f, i, 0, 0, :, :]
+            return idp_ref[i, 0, 0, :, :]
+        return arr_ref[f, i - k, 0, 0, :, :]
+
+    for r in range(k):
+        sels = [valids[i] & (cnts[i] == r) for i in range(k + a_k)]
+        got = total > r
+        for f in range(7):
+            acc = jnp.zeros(shape, jnp.float32)
+            for i in range(k + a_k):
+                acc = acc + jnp.where(sels[i], src(f, i), 0.0)
+            fill = SENTINEL if f < 3 else (0.0 if f < 6 else -1.0)
+            val = jnp.where(got, acc, jnp.float32(fill))
+            if f < 6:
+                out6_ref[f, r, 0, 0, :, :] = val
+            else:
+                oid_ref[r, 0, 0, :, :] = val
+    drop = jnp.sum(jnp.maximum(total - k, 0).astype(jnp.float32))
+    drop_ref[0, :, :] = jnp.where((row == 0) & (lane == 0), drop, 0.0)
+
+
+def consolidate_jnp(new6, idp, flagp, arrivals, geom: PlaneGeom):
+    """jnp reference for _consolidate_kernel (CPU backend / tests)."""
+    k = geom.k
+    inter = interior_mask(geom)[None]
+    valid_k = (new6[0] < SENTINEL * 0.5) & inter & (flagp < 0.5)
+    valid_a = (arrivals[0] < SENTINEL * 0.5) & inter
+    valid = jnp.concatenate([valid_k, valid_a], axis=0)      # (K+A, ...)
     cnt = jnp.cumsum(valid.astype(jnp.int32), axis=0) - valid
-    new_rank = jnp.where(valid, cnt, k + ARRIVAL_K)
     n_dropped = jnp.sum(valid & (cnt >= k)).astype(jnp.int32)
 
     def compact(ext, fill):
@@ -363,10 +414,79 @@ def consolidate(kept6, kept_id, arrivals, geom: PlaneGeom,
         return jnp.stack(out, axis=0)
 
     fields6 = jnp.stack(
-        [compact(jnp.concatenate([kept6[f], arr6[f]], axis=0),
+        [compact(jnp.concatenate([new6[f], arrivals[f]], axis=0),
                  SENTINEL if f < 3 else 0.0) for f in range(6)], axis=0)
-    idp = compact(jnp.concatenate([kept_id, arr_id], axis=0), -1.0)
-    return fields6, idp, n_dropped
+    idp_o = compact(jnp.concatenate([idp, arrivals[6]], axis=0), -1.0)
+    return fields6, idp_o, n_dropped
+
+
+def consolidate(new6, idp, flagp, arrivals, geom: PlaneGeom,
+                use_kernel=None):
+    """Per-cell rank compaction of kept (K ranks; this step's movers and all
+    non-interior slots excluded) + arrival (ARRIVAL_K ranks) slots down to K
+    dense ranks.  Heals rank gaps left by departures and re-sanitizes the
+    force kernel's unwritten ghost blocks / stale halo lanes in the same
+    pass.  Returns (fields6, idp, n_dropped)."""
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
+        return consolidate_jnp(new6, idp, flagp, arrivals, geom)
+
+    k, a_k = geom.k, ARRIVAL_K
+    if geom.dim == 3:
+        grid = (geom.pz, geom.n_bx, geom.py // ROWS_PER_BLOCK)
+
+        def idx6(bz, bx, byb):
+            return (0, 0, bz, bx, byb, 0)
+
+        def idx1(bz, bx, byb):
+            return (0, bz, bx, byb, 0)
+
+        def idxd(bz, bx, byb):
+            return ((bz * geom.n_bx + bx) * (geom.py // ROWS_PER_BLOCK)
+                    + byb, 0, 0)
+    else:
+        grid = (geom.n_bx, geom.py // ROWS_PER_BLOCK)
+
+        def idx6(bx, byb):
+            return (0, 0, 0, bx, byb, 0)
+
+        def idx1(bx, byb):
+            return (0, 0, bx, byb, 0)
+
+        def idxd(bx, byb):
+            return (bx * (geom.py // ROWS_PER_BLOCK) + byb, 0, 0)
+
+    n_blocks = geom.pz * geom.n_bx * (geom.py // ROWS_PER_BLOCK)
+    blk6 = (6, k, 1, 1, ROWS_PER_BLOCK, LANES)
+    blk1 = (k, 1, 1, ROWS_PER_BLOCK, LANES)
+    # full 8-channel arrival stack (7 fields + place's shift channel, which
+    # the kernel ignores) — slicing [:7] outside would copy the whole stack
+    blka = (arrivals.shape[0], a_k, 1, 1, ROWS_PER_BLOCK, LANES)
+    out6, oid, drop = pl.pallas_call(
+        functools.partial(_consolidate_kernel, geom=geom),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk6, idx6, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blka, idx6, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk6, idx6, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ROWS_PER_BLOCK, LANES), idxd,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(new6.shape, jnp.float32),
+            jax.ShapeDtypeStruct(idp.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, ROWS_PER_BLOCK, LANES),
+                                 jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(new6, idp, flagp, arrivals)
+    return out6, oid, jnp.sum(drop[:, 0, 0]).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -410,42 +530,35 @@ def _round_tile(n: int) -> int:
 # the incremental step
 # ---------------------------------------------------------------------------
 
-def stage_movers(stage, m_cap: int):
-    """(9, K, gz, n_bx, n_by, 128) force-kernel staging buffer ->
-    ((7, m_cap) mover rows, live count, staged total, lost-at-staging count).
+def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int):
+    """Pull flagged movers straight out of the unblanked post-step planes.
 
-    Channel 7 flags live mover lanes, channel 8 carries (at lane 0 of each
-    (rank, block) row) the count of movers that exceeded the row's 128-lane
-    staging capacity.  The compaction runs over 1/8 of the plane slot space
-    (one 128-lane row per (rank, 8x128 block)) — this is what makes the v2
-    path cheaper than v1's full-slot-space compaction (BASELINE.md).
+    new6: (6, K, pz, n_bx, py, 128) post-step pos/vel planes; idp the carried
+    id plane; flagp the force kernel's mover-flag plane (ghost blocks
+    garbage).  Returns ((7, m_cap) mover rows, live count, flagged total).
+    The only dense work is the 1-channel flag mask + per-tile counts;
+    compact_flagged's kernel then touches live tiles only.
     """
-    lost_lanes = jnp.sum(stage[8]).astype(jnp.int32)
-    staged_total = jnp.sum(stage[7]).astype(jnp.int32)
-    flat = [s.reshape(-1, LANES) for s in stage[:7]]
-    flags = stage[7].reshape(-1, LANES) > 0.5
-    rows = flags.shape[0]
-    prows = -(-rows // OUT_ROWS) * OUT_ROWS
-    if prows != rows:
-        padcfg = ((0, prows - rows), (0, 0))
-        flat = [jnp.pad(f, padcfg) for f in flat]
-        flags = jnp.pad(flags, padcfg)
-    movers, m = compact_flagged(flat, flags, m_cap)
-    return movers, m, staged_total, lost_lanes
+    flags = (flagp > 0.5) & interior_mask(geom)[None]
+    staged_total = jnp.sum(flags).astype(jnp.int32)
+    channels = [new6[i] for i in range(6)] + [idp]
+    movers, m = compact_flagged(channels, flags, m_cap)
+    return movers, m, staged_total
 
 
 def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
                 m_cap: int, x_origin=None) -> IncState:
-    """One SPH step entirely in plane space (v2: in-kernel mover emission).
+    """One SPH step entirely in plane space (v3: flag-only mover emission).
 
     halo -> occupancy -> density sweep -> fused force+EOS+integrate+collide
-    sweep, whose epilogue detects, blanks, and stages cell-leaving particles
-    while their post-step coordinates are still in VMEM (pallas_sph
-    ``emit_movers``) -> compact staged movers -> sort/route into arrival
-    planes -> consolidate.  The carried planes are always consolidated
-    (clean), and the only dense full-stack passes are consolidate + the two
-    sweeps — v1's standalone detect/compact over the full slot space measured
-    44.3 ms vs 42.1 full-rebuild @1.2M (BASELINE.md).
+    sweep, whose epilogue detects cell-leaving particles and emits a 0/1
+    flag plane (post-step planes stay unblanked) -> extract movers from the
+    new planes (compact_flagged: live tiles only) -> sort/route into arrival
+    planes -> Pallas consolidate (movers excluded by flag, ghost blocks
+    re-sanitized).  History (BASELINE.md): v1's standalone detect/compact
+    dense passes measured 44.3 vs 42.1 full-rebuild @1.2M; v2's in-kernel
+    flat-1024 staging networks cost ~11 ms of force-sweep epilogue and the
+    XLA consolidate 18.1 ms @1.47M.
     """
     from .pallas_sph import density_planes, accel_planes
     assert x_origin is None, "sharded incremental path not wired yet"
@@ -454,15 +567,13 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
     occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
     rho_p = density_planes(planes6[:3], occ_q, occ_s, params, geom)
     rho_h = pm.halo_x(rho_p)
-    new6, kid, stage = accel_planes(planes6, rho_h, occ_q, occ_s, params,
-                                    geom, fuse_integrate=True,
-                                    idp=state.idp, emit_movers=True)
-    movers, m, staged_total, lost_lanes = stage_movers(stage, m_cap)
+    new6, flagp = accel_planes(planes6, rho_h, occ_q, occ_s, params,
+                               geom, fuse_integrate=True, emit_movers=True)
+    movers, m, staged_total = extract_movers(new6, state.idp, flagp, geom,
+                                             m_cap)
     arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin)
-    fields6, idp, lost_rank = consolidate(new6, kid, arr, geom,
-                                          mask_interior=True)
-    overflow = (state.overflow + lost_lanes + (staged_total - m)
-                + lost_dup + lost_rank)
+    fields6, idp, lost_rank = consolidate(new6, state.idp, flagp, arr, geom)
+    overflow = (state.overflow + (staged_total - m) + lost_dup + lost_rank)
     return IncState(fields6=fields6, idp=idp, overflow=overflow)
 
 

@@ -160,18 +160,20 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     leave the planes).
 
     With ``emit_movers`` (requires fuse_integrate) the epilogue additionally
-    detects slots whose post-step position left its cell, BLANKS them in the
-    plane output, and compacts their (x,y,z,vx,vy,vz,id) rows into a per-
-    (rank, block) staging buffer of 128 lanes (channel 7 carries the flagged
-    count for overflow accounting) — mover rebinning then never re-reads the
-    plane stack (ops/inc.py step 4).
+    detects slots whose post-step position left its cell and writes a 0/1
+    flag plane for them; the post-step pos/vel planes are written UNBLANKED
+    (mover values stay in place), so ops/inc.py can extract the movers
+    straight out of the new planes with compact_flagged and the consolidate
+    pass excludes them via the flag.  (v2 compacted movers in-kernel through
+    a flat-1024 routing network per rank tile — measured ~11 ms @1.47M,
+    BASELINE.md — v3 replaces that with one extra output channel.)
     """
     dzs, dys, dxs = _stencil(params.dim)
     n_in = 3 * len(dzs)
     refs, rest = args[:n_in], args[n_in:]
     rrefs, rest = rest[:n_in], rest[n_in:]
     if emit_movers:
-        idp_ref, acc_ref, kid_ref, stage_ref, win = rest
+        acc_ref, flag_ref, win = rest
     else:
         acc_ref, win = rest
     refs = [refs[3 * i:3 * i + 3] for i in range(len(dzs))]
@@ -326,29 +328,15 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
             if params.dim == 3:
                 moved |= cellc(2, geom.nz) != bz
             moved &= valid_q & interior
-            keep = valid_q & ~moved
             zeros = jnp.zeros(shape, jnp.float32)
             p3 = list(pnew) + [zeros] * (3 - params.dim)
             v3 = list(vnew) + [zeros] * (3 - params.dim)
             for c in range(3):
                 acc_ref[c, k1, 0, 0, :, :] = jnp.where(
-                    keep, p3[c], pm.SENTINEL)
+                    valid_q, p3[c], pm.SENTINEL)
                 acc_ref[3 + c, k1, 0, 0, :, :] = jnp.where(
-                    keep, v3[c], 0.0)
-            idv = idp_ref[k1, 0, 0, :, :]
-            kid_ref[k1, 0, 0, :, :] = jnp.where(keep, idv, -1.0)
-            # compact this rank tile's movers to the front (in-register
-            # routing network) and stage the first 128 of them; channel 7 is
-            # the live-lane flag, channel 8 the count lost past 128 lanes
-            routed, flagf = route.compact_tile(p3 + v3 + [idv], moved,
-                                               ROWS_PER_BLOCK)
-            for ch in range(7):
-                stage_ref[ch, k1, 0, 0, pl.ds(by, 1), :] = routed[ch][0:1, :]
-            stage_ref[7, k1, 0, 0, pl.ds(by, 1), :] = flagf[0:1, :]
-            n_moved = jnp.sum(moved.astype(jnp.float32))
-            n_staged = jnp.sum(flagf[0:1, :])
-            stage_ref[8, k1, 0, 0, pl.ds(by, 1), :] = jnp.where(
-                lane[0:1, :] == 0, n_moved - n_staged, 0.0)
+                    valid_q, v3[c], 0.0)
+            flag_ref[k1, 0, 0, :, :] = moved.astype(jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, occ_q, q_loop, 0)
@@ -363,10 +351,8 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 acc_ref[3:6, k1, 0, 0, :, :] = jnp.zeros(
                     (3, ROWS_PER_BLOCK, LANES), jnp.float32)
                 if emit_movers:
-                    kid_ref[k1, 0, 0, :, :] = jnp.full(
-                        (ROWS_PER_BLOCK, LANES), -1.0, jnp.float32)
-                    stage_ref[:, k1, 0, 0, pl.ds(by, 1), :] = jnp.zeros(
-                        (9, 1, LANES), jnp.float32)
+                    flag_ref[k1, 0, 0, :, :] = jnp.zeros(
+                        (ROWS_PER_BLOCK, LANES), jnp.float32)
             else:
                 acc_ref[:, k1, 0, 0, :, :] = jnp.zeros(
                     (3, ROWS_PER_BLOCK, LANES), jnp.float32)
@@ -457,7 +443,7 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
                  params: SimParams, geom: PlaneGeom,
                  fuse_integrate: bool = False,
                  wall_params: SimParams = None,
-                 idp=None, emit_movers: bool = False):
+                 emit_movers: bool = False):
     """(6, K, pz, n_bx, py, 128) pos/vel planes + (K, pz, n_bx, py, 128)
     density planes -> (3, ...) acceleration (pressure + viscosity; gravity
     NOT included).  The EOS runs fused inside the kernel.
@@ -466,11 +452,11 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
     (gravity, symplectic Euler and collide all in-kernel); ghost blocks are
     left unwritten — the incremental path masks them by interior region.
 
-    With ``emit_movers`` (requires fuse_integrate and the id plane ``idp``):
-    -> (new6, kept_id, stage) where movers (slots whose post-step position
-    left its cell) are blanked in new6/kept_id and compacted into ``stage``
-    (9, K, nz, n_bx, n_by, 128): channels 0-6 = x,y,z,vx,vy,vz,id of up to
-    128 movers per (rank, block), 7 = live-lane flag, 8 = lost count.
+    With ``emit_movers`` (requires fuse_integrate):
+    -> (new6, flagp) where new6 holds the UNBLANKED post-step pos/vel planes
+    and flagp (K, pz, n_bx, py, 128) is 1.0 on interior slots whose particle
+    left its cell this step (its ghost blocks, like new6's, are unwritten
+    garbage — ops/inc.py masks by interior region).
     """
     n_dz = 3 if geom.dim == 3 else 1
     grid, in_specs = _grid_and_specs(geom, 6)
@@ -499,42 +485,24 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
         memory_space=pltpu.VMEM)
     main_shape = jax.ShapeDtypeStruct(
         (n_out, geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32)
-    extra_in, extra_specs = [], []
     if emit_movers:
-        assert fuse_integrate and idp is not None
-        extra_in, extra_specs = [idp], [pl.BlockSpec(
-            (geom.k, 1, 1, ROWS_PER_BLOCK, LANES), _out_index(geom, 0),
-            memory_space=pltpu.VMEM)]
-        gz = geom.nz if geom.dim == 3 else 1
-        # the stage block spans ALL n_by rows (TPU block minor-dim rules) and
-        # is revisited across the innermost (by) grid dim — each program
-        # writes only its own row
-        if geom.dim == 3:
-            def stage_idx(bz, bx, by, *_):
-                return (0, 0, bz, bx, 0, 0)
-        else:
-            def stage_idx(bx, by, *_):
-                return (0, 0, 0, bx, 0, 0)
+        assert fuse_integrate
         out_specs = [
             main_spec,
             pl.BlockSpec((geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
                          _out_index(geom, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, geom.k, 1, 1, geom.n_by, LANES), stage_idx,
-                         memory_space=pltpu.VMEM),
         ]
         out_shape = [
             main_shape,
             jax.ShapeDtypeStruct(
                 (geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (9, geom.k, gz, geom.n_bx, geom.n_by, LANES), jnp.float32),
         ]
     else:
         out_specs, out_shape = main_spec, main_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=in_specs + rho_specs + extra_specs,
+        in_specs=in_specs + rho_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM(
             (n_dz, 8, geom.k, ROWS_PER_BLOCK + 2, LANES), jnp.float32)],
@@ -550,7 +518,7 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
         out_shape=out_shape,
         interpret=_interpret(),
     )(occ_q.reshape(-1), occ_s.reshape(-1),
-      *([field_planes] * n_copies), *([rho_planes] * n_copies), *extra_in)
+      *([field_planes] * n_copies), *([rho_planes] * n_copies))
 
 
 # --------------------------------------------------------------------------

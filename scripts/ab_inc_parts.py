@@ -42,12 +42,12 @@ def main():
     s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
 
     def rebin_only(s):
-        kept6, kept_id, flags = inc.detect_movers(s.fields6, s.idp,
-                                                  params, geom)
+        _, _, flags = inc.detect_movers(s.fields6, s.idp, params, geom)
+        flagp = flags.astype(jnp.float32)
         channels = [s.fields6[i] for i in range(6)] + [s.idp]
         movers, m = inc.compact_flagged(channels, flags, m_cap)
         arr, lost = inc.arrival_planes(movers, m, params, geom)
-        f6, idp, lr = inc.consolidate(kept6, kept_id, arr, geom)
+        f6, idp, lr = inc.consolidate(s.fields6, s.idp, flagp, arr, geom)
         return inc.IncState(fields6=f6, idp=idp,
                             overflow=s.overflow + lost + lr)
 

@@ -58,23 +58,23 @@ def make_prefixes(params: SimParams, m_cap: int):
             planes6[:3], occ_q, occ_s, params, geom))
         return pallas_sph.accel_planes(planes6, rho_h, occ_q, occ_s, params,
                                        geom, fuse_integrate=True,
-                                       idp=s.idp, emit_movers=True)
+                                       emit_movers=True)
 
     def p_force(s):
-        new6, kid, stage = _swept(s)
-        return s._replace(fields6=feedback(s.fields6, new6, kid, stage))
+        new6, flagp = _swept(s)
+        return s._replace(fields6=feedback(s.fields6, new6, flagp))
 
     def p_stage(s):
-        new6, kid, stage = _swept(s)
-        movers, m, tot, lost = inc.stage_movers(stage, m_cap)
-        return s._replace(fields6=feedback(s.fields6, new6, kid, movers,
+        new6, flagp = _swept(s)
+        movers, m, tot = inc.extract_movers(new6, s.idp, flagp, geom, m_cap)
+        return s._replace(fields6=feedback(s.fields6, new6, movers,
                                            m.astype(jnp.float32)))
 
     def p_arrival(s):
-        new6, kid, stage = _swept(s)
-        movers, m, tot, lost = inc.stage_movers(stage, m_cap)
+        new6, flagp = _swept(s)
+        movers, m, tot = inc.extract_movers(new6, s.idp, flagp, geom, m_cap)
         arr, lost_dup = inc.arrival_planes(movers, m, params, geom)
-        return s._replace(fields6=feedback(s.fields6, new6, kid, arr))
+        return s._replace(fields6=feedback(s.fields6, new6, flagp, arr))
 
     def p_full(s):
         return inc.step_planes(s, params, geom, m_cap)

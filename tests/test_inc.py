@@ -90,8 +90,7 @@ def test_incremental_rebin_matches_full_rebuild():
     s2 = inc.IncState(fields6=jnp.asarray(f6), idp=s.idp,
                       overflow=s.overflow)
 
-    kept6, kept_id, flags = inc.detect_movers(s2.fields6, s2.idp,
-                                              params, geom)
+    _, _, flags = inc.detect_movers(s2.fields6, s2.idp, params, geom)
     n_moved = int(jnp.sum(flags))
     assert n_moved > 20, "perturbation should move a real fraction"
     channels = [s2.fields6[i] for i in range(6)] + [s2.idp]
@@ -99,7 +98,9 @@ def test_incremental_rebin_matches_full_rebuild():
                                     inc.mover_capacity(state.n))
     assert int(m) == n_moved
     arr, lost_dup = inc.arrival_planes(movers, m, params, geom)
-    fields6, idp, lost_rank = inc.consolidate(kept6, kept_id, arr, geom)
+    flagp = flags.astype(jnp.float32)
+    fields6, idp, lost_rank = inc.consolidate(s2.fields6, s2.idp, flagp,
+                                              arr, geom)
     assert int(lost_dup) == 0 and int(lost_rank) == 0
 
     ref = pm.build_planes(new_pos, state.vel, state.ids, params, geom,
@@ -150,9 +151,10 @@ def test_fused_integrate_matches_separate():
 
 @pytest.mark.parametrize("dim", [2, 3])
 def test_emit_movers_matches_detect(dim):
-    """The force kernel's in-VMEM mover emission (emit_movers) must agree
+    """The force kernel's in-VMEM mover flagging (emit_movers) must agree
     with the standalone detect_movers pass applied to the plain fused
-    output: same kept planes on interior slots, same mover id set."""
+    output: identical post-step planes on interior slots, identical mover
+    flag set, and extract_movers pulls exactly the flagged ids/values."""
     from gpufluidsimulator_tpu.ops.pallas_sph import (accel_planes,
                                                       density_planes)
     params, state = _scene(n=800 if dim == 2 else 1000, dim=dim)
@@ -163,40 +165,65 @@ def test_emit_movers_matches_detect(dim):
     rho = pm.halo_x(density_planes(planes6[:3], occ_q, occ_s, params, geom))
     fused = accel_planes(planes6, rho, occ_q, occ_s, params, geom,
                          fuse_integrate=True)
-    new6, kid, stage = accel_planes(planes6, rho, occ_q, occ_s, params,
-                                    geom, fuse_integrate=True,
-                                    idp=s.idp, emit_movers=True)
-    kept6, kept_id, flags = inc.detect_movers(fused, s.idp, params, geom)
+    new6, flagp = accel_planes(planes6, rho, occ_q, occ_s, params,
+                               geom, fuse_integrate=True, emit_movers=True)
+    _, _, flags = inc.detect_movers(fused, s.idp, params, geom)
     assert int(jnp.sum(flags)) > 5, "scene should produce some movers"
 
     im = np.broadcast_to(np.asarray(inc.interior_mask(geom))[None],
-                         np.asarray(kept6[0]).shape)
+                         np.asarray(fused[0]).shape)
+    # unblanked post-step planes match the plain fused output on interior
     for ch in range(6):
         np.testing.assert_array_equal(np.asarray(new6[ch])[im],
-                                      np.asarray(kept6[ch])[im])
-    np.testing.assert_array_equal(np.asarray(kid)[im],
-                                  np.asarray(kept_id)[im])
+                                      np.asarray(fused[ch])[im])
+    # flag plane matches the standalone detection on interior slots
+    np.testing.assert_array_equal(
+        np.asarray(flagp > 0.5)[im], np.asarray(flags)[im])
 
-    st = np.asarray(stage)
-    got = set(st[6][st[7] > 0.5].astype(int))
+    movers, m, tot = inc.extract_movers(new6, s.idp, flagp, geom,
+                                        inc.mover_capacity(state.n))
+    n_flag = int(jnp.sum(flags))
+    assert int(m) == int(tot) == n_flag
+    mv = np.asarray(movers)[:, :n_flag]
+    got = set(mv[6].astype(int))
     want = set(np.asarray(s.idp)[np.asarray(flags)].astype(int))
     assert got == want
-    assert float(np.sum(st[8])) == 0.0
-    # staged coordinates are the post-step (blanked) values
-    flag_lanes = st[7] > 0.5
-    fused_np = np.asarray(fused)
-    by_id = {}
+    # extracted coordinates are the post-step values of the flagged slots
     fl = np.asarray(flags)
+    by_id = {}
+    ids_fl = np.asarray(s.idp)[fl].astype(int)
     for ch in range(6):
-        v = np.asarray(fused_np[ch])[fl]
-        i = np.asarray(s.idp)[fl].astype(int)
-        for a, b in zip(i, v):
+        v = np.asarray(fused[ch])[fl]
+        for a, b in zip(ids_fl, v):
             by_id.setdefault(int(a), []).append(float(b))
-    for ch in range(6):
-        vals = st[ch][flag_lanes]
-        ids = st[6][flag_lanes].astype(int)
-        for pid, v in zip(ids, vals):
-            assert abs(by_id[pid][ch] - float(v)) == 0.0
+    for j in range(n_flag):
+        pid = int(mv[6, j])
+        for ch in range(6):
+            assert by_id[pid][ch] == float(mv[ch, j])
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_consolidate_kernel_matches_jnp(dim):
+    """Pallas consolidate (interpret mode) vs the jnp reference."""
+    params, state = _scene(n=700 if dim == 2 else 900, dim=dim)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    rng = np.random.default_rng(7)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    flags = jnp.asarray(valid & (rng.random(valid.shape) < 0.15))
+    flagp = flags.astype(jnp.float32)
+    channels = [s.fields6[i] for i in range(6)] + [s.idp]
+    movers, m = inc.compact_flagged(channels, flags,
+                                    inc.mover_capacity(state.n))
+    arr, _ = inc.arrival_planes(movers, m, params, geom)
+    ref6, refid, refdrop = inc.consolidate(s.fields6, s.idp, flagp, arr,
+                                           geom, use_kernel=False)
+    got6, gotid, gotdrop = inc.consolidate(s.fields6, s.idp, flagp, arr,
+                                           geom, use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(got6), np.asarray(ref6))
+    np.testing.assert_array_equal(np.asarray(gotid), np.asarray(refid))
+    assert int(gotdrop) == int(refdrop)
 
 
 @pytest.mark.parametrize("dim,n,steps", [(2, 900, 30), (3, 1200, 12)])
