@@ -35,7 +35,7 @@ from ..models.params import SimParams
 from . import planes as pm
 from . import route
 from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
-from .route import TILE, LOCAL, ROWS, OUT_ROWS, PAD_ROWS, N_BITS
+from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
 
 ARRIVAL_K = 4          # K'': max same-cell arrivals routed per step (counted
                        # into overflow when exceeded, like cell capacity)
@@ -133,18 +133,6 @@ def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
 # flagged compaction: plane slots -> compact particle rows (no gathers)
 # ---------------------------------------------------------------------------
 
-def _cumsum_flags(flag):
-    """Exclusive prefix sum of a 0/1 i32 (ROWS, 128) tile in flat row-major
-    order (Hillis-Steele over butterfly rolls)."""
-    pos = route._flat_pos()
-    s = flag
-    d = 1
-    while d < LOCAL:
-        s = s + jnp.where(pos >= d, route._flat_roll(s, d), 0)
-        d *= 2
-    return s - flag
-
-
 def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
                     rows_total: int):
     """Compact the flagged slots of one routing tile into its particle run.
@@ -179,8 +167,7 @@ def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
             dma(i).wait()
 
         o = starts_ref[t] % LANES
-        pos = route._flat_pos()
-        pad_rows = ROWS - 1 - OUT_ROWS
+        pad_rows = SPACE_ROWS - 1 - OUT_ROWS
 
         def lift(x):
             return jnp.concatenate(
@@ -189,13 +176,10 @@ def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
 
         flag = lift(scr[n_ch, :OUT_ROWS, :])
         flag = jnp.where(flag > 0.5, 1.0, 0.0)
-        flagi = flag.astype(jnp.int32)
-        rank = _cumsum_flags(flagi)
         # data sits at pos (128 + slot_local); its run target is (o + rank),
-        # rank <= slot_local and o < 128 keep every shift positive & < LOCAL
-        shift = jnp.where(flagi == 1, pos - (o + rank), 0)
+        # rank <= slot_local and o < 128 keep every shift positive
         fields = [lift(scr[i, :OUT_ROWS, :]) for i in range(n_ch)]
-        routed, _ = route.route_bwd(fields, shift, flag)
+        routed, _ = route.compact_tile(fields, flag, SPACE_ROWS, offset=o)
         for i in range(n_ch):
             out_ref[0, i, :, :] = routed[i][:PAD_ROWS, :]
 

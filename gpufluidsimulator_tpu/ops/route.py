@@ -44,6 +44,12 @@ ROWS = LOCAL // LANES       # 128
 OUT_ROWS = TILE // LANES    # 64
 PAD_ROWS = OUT_ROWS + 1     # 65 DMA rows cover any 8192-particle window
 N_BITS = 14                 # shifts < LOCAL
+SPACE_ROWS = OUT_ROWS + 8   # 72-row routing space for the tile kernels:
+# every target is < 128 + 8192 = 8320 <= 65 rows (place: slot + one lift
+# row; extract/compact: lane offset o < 128 plus an 8192 run), so 72 rows
+# (sublane-aligned) hold any route.  The networks are compute-bound and
+# every butterfly-stage op scales with the space, so 72 instead of the
+# generic 128-row LOCAL is a ~1.8x kernel-cost cut (BASELINE.md).
 
 
 def n_tiles(geom: PlaneGeom) -> int:
@@ -73,16 +79,21 @@ def _flat_roll(x, d: int):
     return jnp.where(lane < s, hi, lo)
 
 
-def route_fwd(fields, shift, flag):
-    """MSB-first monotone expansion in (ROWS, 128) local flat space.
+def route_fwd(fields, shift, flag, rows: int = ROWS):
+    """MSB-first monotone expansion in (rows, 128) local flat space.
 
     fields: list of f32 tiles; shift: i32 remaining shift; flag: f32 0/1.
     Returns (routed fields, routed flag).  (Runtime per-stage skipping via
     lax.cond was measured SLOWER than running all 14 stages — the scalar-core
     branch stalls the vector pipeline; see BASELINE.md optimization notes.)
+    ``rows`` need not be a power of two; stage count covers the largest
+    shift expressible in the space (every stage op scales with rows, so the
+    72-row kernels run ~1.8x cheaper than the generic 128).
     """
-    pos = _flat_pos()
-    for b in range(N_BITS - 1, -1, -1):
+    local = rows * LANES
+    n_bits = (local - 1).bit_length()
+    pos = _flat_pos(rows)
+    for b in range(n_bits - 1, -1, -1):
         d = 1 << b
         move = (flag > 0.5) & (((shift >> b) & 1) == 1)
         movef = move.astype(jnp.float32)
@@ -139,7 +150,7 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
         for i in range(n_fields + 1):
             dma(i).wait()
 
-        pos = _flat_pos()
+        pos = _flat_pos(SPACE_ROWS)
         valid = (pos >= o) & (pos < o + m)
         tile_base = t * TILE
         # local target = (slot - tile_base) + 128; shift = target - position
@@ -149,7 +160,7 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
 
         fields = [fscr[i] for i in range(n_fields)]
         routed, flag_r = route_fwd(fields + [pos.astype(jnp.float32)],
-                                   shift, flag)
+                                   shift, flag, rows=SPACE_ROWS)
         filled = flag_r > 0.5
         for i in range(n_fields):
             fill = pm.SENTINEL if i < n_pos else 0.0
@@ -198,8 +209,8 @@ def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
             (nf + 1, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nf, ROWS, LANES), jnp.float32),
-            pltpu.VMEM((ROWS, LANES), jnp.int32),
+            pltpu.VMEM((nf, SPACE_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((SPACE_ROWS, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((nf + 1,)),
         ],
     )
@@ -223,16 +234,18 @@ def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
 # inverse: planes -> per-particle values (replaces XLA gathers)
 # ---------------------------------------------------------------------------
 
-def route_bwd(fields, shift, flag):
+def route_bwd(fields, shift, flag, rows: int = ROWS):
     """Inverse of route_fwd: LSB-first, moving left by the set bits of the
     TOTAL shift (which stays attached to its element throughout)."""
-    pos = _flat_pos()
-    for b in range(N_BITS):
+    local = rows * LANES
+    n_bits = (local - 1).bit_length()
+    pos = _flat_pos(rows)
+    for b in range(n_bits):
         d = 1 << b
         move = (flag > 0.5) & (((shift >> b) & 1) == 1)
         movef = move.astype(jnp.float32)
-        back = LOCAL - d
-        arrive = (_flat_roll(movef, back) > 0.5) & (pos < LOCAL - d)
+        back = local - d
+        arrive = (_flat_roll(movef, back) > 0.5) & (pos < local - d)
         fields = [jnp.where(arrive, _flat_roll(x, back),
                             jnp.where(move, 0.0, x)) for x in fields]
         shift = jnp.where(arrive, _flat_roll(shift, back),
@@ -241,18 +254,22 @@ def route_bwd(fields, shift, flag):
     return fields, flag
 
 
-def compact_tile(fields, flag, rows: int):
+def compact_tile(fields, flag, rows: int, offset=0):
     """Compact flagged elements of (rows, 128) tiles to the front, in flat
     row-major order, entirely in registers (for use INSIDE kernels on small
     spaces — the force kernel's mover staging uses rows=8).
 
     The LSB-first inverse network (route_bwd) tolerates gaps between flagged
     elements, so this is plain extraction: the element with exclusive
-    flag-rank r lands at flat position r.  Returns (routed fields, arrived
+    flag-rank r lands at flat position ``offset + r`` (offset a runtime
+    scalar in [0, 128); with offset > 0 the caller must lift its data past
+    row 0 so every shift stays non-negative).  ``rows`` need not be a power
+    of two — the roll space is cyclic over rows*128 and the stage count
+    covers the largest possible shift.  Returns (routed fields, arrived
     flag as f32 0/1).
     """
     local = rows * LANES
-    n_bits = local.bit_length() - 1
+    n_bits = (local - 1).bit_length()
     pos = _flat_pos(rows)
     flagi = flag.astype(jnp.int32)
     s = flagi
@@ -261,7 +278,7 @@ def compact_tile(fields, flag, rows: int):
         s = s + jnp.where(pos >= d, _flat_roll(s, d), 0)
         d *= 2
     rank = s - flagi                       # exclusive rank = target position
-    shift = jnp.where(flagi == 1, pos - rank, 0)
+    shift = jnp.where(flagi == 1, pos - rank - offset, 0)
     flagf = flagi.astype(jnp.float32)
     for b in range(n_bits):
         d = 1 << b
@@ -292,27 +309,27 @@ def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,
 
     @pl.when(m != 0)
     def _():
-        pos = _flat_pos()
         zero_row = jnp.zeros((1, LANES), jnp.float32)
+        pad = SPACE_ROWS - 1 - OUT_ROWS
 
         sh = shifts_ref[0, 0, 0, :, :]                # (64, 128) f32
         shift = jnp.concatenate(
             [jnp.zeros((1, LANES), jnp.float32), sh,
-             jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)],
+             jnp.zeros((pad, LANES), jnp.float32)],
             axis=0).astype(jnp.int32)
         flag = jnp.concatenate(
             [jnp.zeros((1, LANES), jnp.float32),
              (sh >= 0).astype(jnp.float32),
-             jnp.zeros((ROWS - 1 - OUT_ROWS, LANES), jnp.float32)], axis=0)
+             jnp.zeros((pad, LANES), jnp.float32)], axis=0)
 
         fields = []
         for c in range(n_ch):
             v = vals_ref[c, 0, 0, 0, :, :]
             fields.append(jnp.concatenate(
-                [zero_row, v, jnp.zeros((ROWS - 1 - OUT_ROWS, LANES),
-                                        jnp.float32)], axis=0))
+                [zero_row, v, jnp.zeros((pad, LANES), jnp.float32)], axis=0))
 
-        routed, flag_b = route_bwd(fields, jnp.maximum(shift, 0), flag)
+        routed, flag_b = route_bwd(fields, jnp.maximum(shift, 0), flag,
+                                   rows=SPACE_ROWS)
         for c in range(n_ch):
             out_ref[0, c, :, :] = routed[c][:PAD_ROWS, :]
 
@@ -398,18 +415,19 @@ def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
         s_t = starts_ref[t]
         e_t = starts_ref[t + 1]
         o_t = s_t % LANES
-        # out flat j corresponds to strip flat (j + off)
+        # out flat j corresponds to strip flat (j + off); j + off <= o_t +
+        # m_t - 1 < 8320, so the 72-row cyclic space never wraps a live read
         off = o_t + (p0 - s_t)
-        rot = (-off) % LOCAL
+        rot = (-off) % (SPACE_ROWS * LANES)
         lane_rot = rot % LANES
         row_rot = rot // LANES
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SPACE_ROWS, LANES), 1)
         jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
         new = []
         for ch in range(n_ch):
             x = jnp.concatenate(
                 [scr[buf, ch * PAD_ROWS:(ch + 1) * PAD_ROWS, :],
-                 jnp.zeros((ROWS - PAD_ROWS, LANES), jnp.float32)],
+                 jnp.zeros((SPACE_ROWS - PAD_ROWS, LANES), jnp.float32)],
                 axis=0)
             a = pltpu.roll(x, lane_rot, axis=1)
             hi = pltpu.roll(a, row_rot + 1, axis=0)
