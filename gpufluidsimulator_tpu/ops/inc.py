@@ -134,12 +134,16 @@ def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
 # ---------------------------------------------------------------------------
 
 def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
-                    rows_total: int):
+                    rows_total: int, nt: int):
     """Compact the flagged slots of one routing tile into its particle run.
 
     Grid program t handles compact tile index t (tile id prefetched);
     programs beyond the live count are skipped.  Channel refs are flat
     (rows_total, 128) views in ANY memory; strips land as in route.extract.
+    Double-buffered: program t issues tile t+1's channel DMAs before
+    waiting on its own, so the 9-copy latency chain (~2.2k live tiles at
+    2.3% mover density — nearly every tile) hides behind the routing
+    network instead of serializing with it.
     """
     t = pl.program_id(0)
     m = starts_ref[t + 1] - starts_ref[t]
@@ -147,41 +151,55 @@ def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
     ch_refs = refs[:n_ch]
     flag_ref = refs[n_ch]
     out_ref = refs[n_ch + 1]
-    scr = refs[n_ch + 2]            # (n_ch + 1, OUT_ROWS, 128) VMEM
-    sems = refs[n_ch + 3]
+    scr = refs[n_ch + 2]            # (2, n_ch + 1, OUT_ROWS, 128) VMEM
+    sems = refs[n_ch + 3]           # (2, n_ch + 1) DMA semaphores
+
+    def dma(i, slot, tid):
+        src = ch_refs[i] if i < n_ch else flag_ref
+        return pltpu.make_async_copy(
+            src.at[pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
+            scr.at[slot, i], sems.at[slot, i])
+
+    @pl.when((t == 0) & (m > 0))
+    def _():
+        for i in range(n_ch + 1):
+            dma(i, 0, tile_ids_ref[0]).start()
+
+    nxt = jnp.minimum(t + 1, nt - 1)
+    m_next = starts_ref[nxt + 1] - starts_ref[nxt]
+
+    @pl.when((t + 1 < nt) & (m_next > 0))
+    def _():
+        for i in range(n_ch + 1):
+            dma(i, (t + 1) % 2, tile_ids_ref[nxt]).start()
 
     @pl.when(m > 0)
     def _():
         tid = tile_ids_ref[t]
-        row0 = tid * OUT_ROWS
-
-        def dma(i):
-            src = ch_refs[i] if i < n_ch else flag_ref
-            return pltpu.make_async_copy(
-                src.at[pl.ds(row0, OUT_ROWS), :],
-                scr.at[i, pl.ds(0, OUT_ROWS), :], sems.at[i])
-
+        buf = t % 2
         for i in range(n_ch + 1):
-            dma(i).start()
-        for i in range(n_ch + 1):
-            dma(i).wait()
+            dma(i, buf, tid).wait()
 
         o = starts_ref[t] % LANES
-        pad_rows = SPACE_ROWS - 1 - OUT_ROWS
-
-        def lift(x):
-            return jnp.concatenate(
-                [jnp.zeros((1, LANES), x.dtype), x,
-                 jnp.zeros((pad_rows, LANES), x.dtype)], axis=0)
-
-        flag = lift(scr[n_ch, :OUT_ROWS, :])
+        flag = scr[buf, n_ch, :, :]
         flag = jnp.where(flag > 0.5, 1.0, 0.0)
-        # data sits at pos (128 + slot_local); its run target is (o + rank),
-        # rank <= slot_local and o < 128 keep every shift positive
-        fields = [lift(scr[i, :OUT_ROWS, :]) for i in range(n_ch)]
-        routed, _ = route.compact_tile(fields, flag, SPACE_ROWS, offset=o)
+        # compact to the space front (rank <= pos, so no lift row is needed
+        # and the space is exactly the 64 data rows — one fewer stage and
+        # 8 fewer rows than routing to o + rank directly), then place the
+        # run at its lane offset with one dynamic flat-rotate; elements
+        # wrapping past 64*128 belong in the strip's 65th row
+        fields = [scr[buf, i, :, :] for i in range(n_ch)]
+        routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
+        row_ = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0)
         for i in range(n_ch):
-            out_ref[0, i, :, :] = routed[i][:PAD_ROWS, :]
+            a = pltpu.roll(routed[i], o, axis=1)
+            hi = pltpu.roll(a, 1, axis=0)
+            rot = jnp.where(lane < o, hi, a)      # flat-rotate by +o
+            body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
+            out_ref[0, i, :OUT_ROWS, :] = body
+            out_ref[0, i, OUT_ROWS:, :] = jnp.where(
+                lane < o, rot, 0.0)[0:1, :]
 
 
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
@@ -234,12 +252,12 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
             (1, n_ch, PAD_ROWS, LANES), lambda t, *_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_ch + 1, OUT_ROWS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_ch + 1,)),
+            pltpu.VMEM((2, n_ch + 1, OUT_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, n_ch + 1)),
         ],
     )
     kernel = functools.partial(_compact_kernel, n_ch=n_ch,
-                               rows_total=rows_total)
+                               rows_total=rows_total, nt=nt)
     strips = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
