@@ -37,8 +37,12 @@ from . import route
 from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
 from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
 
-ARRIVAL_K = 4          # K'': max same-cell arrivals routed per step (counted
-                       # into overflow when exceeded, like cell capacity)
+ARRIVAL_K = 8          # K'': max same-cell arrivals routed per step.  Set
+# equal to the cell capacity K so the incremental path's only drop
+# condition is "post-step cell occupancy > K" — exactly the full-rebuild
+# binning's overflow semantics.  (At 4 it also dropped bursts of >4
+# same-cell arrivals in one step: measured 271 lost particles over 500
+# steps @1M 3D double dam break, where the full rebuild loses none.)
 
 
 def mover_capacity(n: int) -> int:
@@ -288,9 +292,9 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     """Route the compacted movers into ARRIVAL_K-rank arrival planes.
 
     movers: (7, M) slot-ordered mover rows (x,y,z,vx,vy,vz,id); m: live count.
-    Returns (stack (8, ARRIVAL_K, pz, n_bx, py, 128) — 7 fields + shift
-    channel — and the count of arrivals dropped for exceeding ARRIVAL_K
-    same-cell arrivals or the M capacity).
+    Returns (stack (7, ARRIVAL_K, pz, n_bx, py, 128) — no shift channel,
+    arrival planes are never un-placed — and the count of arrivals dropped
+    for exceeding ARRIVAL_K same-cell arrivals or the M capacity).
     """
     max_out = movers.shape[1]
     jdx = jnp.arange(max_out, dtype=jnp.int32)
@@ -327,7 +331,8 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     slot2d = pad2d(slot_s, ARRIVAL_K * cells + route.LOCAL)
     bases = jnp.arange(route.n_tiles(gk) + 1, dtype=jnp.int32) * TILE
     starts = jnp.searchsorted(slot_s, bases).astype(jnp.int32)
-    stack = route.place(fields2d, slot2d, starts, gk, n_pos=3)
+    stack = route.place(fields2d, slot2d, starts, gk, n_pos=3,
+                        with_shift=False)
     return stack, dropped
 
 
@@ -462,8 +467,6 @@ def consolidate(new6, idp, flagp, arrivals, geom: PlaneGeom,
     n_blocks = geom.pz * geom.n_bx * (geom.py // ROWS_PER_BLOCK)
     blk6 = (6, k, 1, 1, ROWS_PER_BLOCK, LANES)
     blk1 = (k, 1, 1, ROWS_PER_BLOCK, LANES)
-    # full 8-channel arrival stack (7 fields + place's shift channel, which
-    # the kernel ignores) — slicing [:7] outside would copy the whole stack
     blka = (arrivals.shape[0], a_k, 1, 1, ROWS_PER_BLOCK, LANES)
     out6, oid, drop = pl.pallas_call(
         functools.partial(_consolidate_kernel, geom=geom),

@@ -107,9 +107,12 @@ def route_fwd(fields, shift, flag, rows: int = ROWS):
 
 
 def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
-                      n_pos: int):
+                      n_pos: int, with_shift: bool = True):
     """One routing tile: DMA the slot-sorted particle slice, butterfly-route
-    it onto its slots, write the plane block (+ shift channel)."""
+    it onto its slots, write the plane block (+ shift channel unless
+    ``with_shift=False`` — stacks that are never un-placed, like the
+    incremental path's arrival planes, skip it and save one routed channel
+    plus 1/(F+1) of the stack's HBM traffic)."""
     t = pl.program_id(0)
     start = starts_ref[t]
     m = starts_ref[t + 1] - start
@@ -131,8 +134,9 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
             fill = pm.SENTINEL if i < n_pos else 0.0
             out_ref[i, 0, 0, 0, :, :] = jnp.full((OUT_ROWS, LANES), fill,
                                                  jnp.float32)
-        out_ref[n_fields, 0, 0, 0, :, :] = jnp.full((OUT_ROWS, LANES), -1.0,
-                                                    jnp.float32)
+        if with_shift:
+            out_ref[n_fields, 0, 0, 0, :, :] = jnp.full(
+                (OUT_ROWS, LANES), -1.0, jnp.float32)
 
     @pl.when(m != 0)
     def _():
@@ -159,17 +163,19 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
         flag = valid.astype(jnp.float32)
 
         fields = [fscr[i] for i in range(n_fields)]
-        routed, flag_r = route_fwd(fields + [pos.astype(jnp.float32)],
-                                   shift, flag, rows=SPACE_ROWS)
+        if with_shift:
+            fields = fields + [pos.astype(jnp.float32)]
+        routed, flag_r = route_fwd(fields, shift, flag, rows=SPACE_ROWS)
         filled = flag_r > 0.5
         for i in range(n_fields):
             fill = pm.SENTINEL if i < n_pos else 0.0
             val = jnp.where(filled, routed[i], fill)
             out_ref[i, 0, 0, 0, :, :] = val[1:1 + OUT_ROWS, :]
-        # shift channel: routed position - original position; -1 where empty
-        total_shift = jnp.where(
-            filled, pos.astype(jnp.float32) - routed[n_fields], -1.0)
-        out_ref[n_fields, 0, 0, 0, :, :] = total_shift[1:1 + OUT_ROWS, :]
+        if with_shift:
+            # shift channel: routed - original position; -1 where empty
+            total_shift = jnp.where(
+                filled, pos.astype(jnp.float32) - routed[n_fields], -1.0)
+            out_ref[n_fields, 0, 0, 0, :, :] = total_shift[1:1 + OUT_ROWS, :]
 
 
 def tile_index_map(geom: PlaneGeom, lead_zeros: int = 1):
@@ -190,23 +196,26 @@ def tile_index_map(geom: PlaneGeom, lead_zeros: int = 1):
 
 
 def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
-          n_pos: int = pm.N_POS_FIELDS, use_kernel=None):
+          n_pos: int = pm.N_POS_FIELDS, use_kernel=None,
+          with_shift: bool = True):
     """Route slot-sorted particles into rank-major planes.
 
     fields_sorted: F arrays (rows, 128) f32 (slot-sorted particle fields,
     padded; see pad_rows); slot_sorted: (rows, 128) int32 rank-major slot per
     particle (>= K*cells for dropped/inactive); starts: (n_tiles+1,) int32
     particle offsets per tile.  Returns an (F+1, K, pz, n_bx, py, 128) stack:
-    F field planes + the routing-shift channel consumed by the inverse.
+    F field planes + the routing-shift channel consumed by the inverse
+    (omitted, giving an (F, ...) stack, when ``with_shift=False``).
     """
     nf = len(fields_sorted)
+    n_out = nf + 1 if with_shift else nf
     nt = n_tiles(geom)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nf + 1),
         out_specs=pl.BlockSpec(
-            (nf + 1, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
+            (n_out, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nf, SPACE_ROWS, LANES), jnp.float32),
@@ -217,14 +226,15 @@ def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if not use_kernel:
-        return _place_jnp(fields_sorted, slot_sorted, starts, geom, n_pos)
+        out = _place_jnp(fields_sorted, slot_sorted, starts, geom, n_pos)
+        return out if with_shift else out[:nf]
     kernel = functools.partial(_placement_kernel, geom=geom, n_fields=nf,
-                               n_pos=n_pos)
+                               n_pos=n_pos, with_shift=with_shift)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (nf + 1, geom.k, geom.pz, geom.n_bx, geom.py, LANES),
+            (n_out, geom.k, geom.pz, geom.n_bx, geom.py, LANES),
             jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(starts, *fields_sorted, slot_sorted)
