@@ -288,17 +288,20 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
 # ---------------------------------------------------------------------------
 
 def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
-                   x_origin=None):
+                   x_origin=None, live=None):
     """Route the compacted movers into ARRIVAL_K-rank arrival planes.
 
-    movers: (7, M) slot-ordered mover rows (x,y,z,vx,vy,vz,id); m: live count.
+    movers: (7, M) slot-ordered mover rows (x,y,z,vx,vy,vz,id); m: live count
+    (or an explicit (M,) ``live`` mask — the sharded path merges ICI-received
+    movers into the tail, so liveness is not a prefix there).
     Returns (stack (7, ARRIVAL_K, pz, n_bx, py, 128) — no shift channel,
     arrival planes are never un-placed — and the count of arrivals dropped
     for exceeding ARRIVAL_K same-cell arrivals or the M capacity).
     """
     max_out = movers.shape[1]
     jdx = jnp.arange(max_out, dtype=jnp.int32)
-    live = jdx < m
+    if live is None:
+        live = jdx < m
     cells = geom.cells
     gk = geom._replace(k=ARRIVAL_K)
 
@@ -499,10 +502,10 @@ def consolidate(new6, idp, flagp, arrivals, geom: PlaneGeom,
 # ---------------------------------------------------------------------------
 
 def to_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
-              x_origin=None) -> IncState:
+              x_origin=None, active=None) -> IncState:
     """Full rebuild (the build_planes path) producing the carried state."""
     table = pm.build_planes(pos, vel, ids, params, geom, x_origin=x_origin,
-                            with_ids=True)
+                            with_ids=True, active=active)
     planes = table.planes
     return IncState(fields6=planes[:6], idp=planes[6],
                     overflow=table.overflow)
@@ -551,8 +554,63 @@ def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int):
     return movers, m, staged_total
 
 
+def exchange_movers(movers, m, x_origin, width, mig_cap: int, n_dev: int,
+                    axis: str):
+    """Ship slab-leaving movers to the x-neighbor devices over ICI.
+
+    The mover set IS the migration traffic under spatial sharding: only a
+    particle that changed cell can have crossed a slab face, so the
+    per-step ICI payload is two fixed (7, mig_cap) buffers instead of the
+    full-path's particle-array repack (parallel/sharded.migrate).
+    Returns (merged (7, M + 2*mig_cap), live mask, n lost to mig_cap).
+    """
+    max_out = movers.shape[1]
+    jdx = jnp.arange(max_out, dtype=jnp.int32)
+    live = jdx < m
+    x = movers[0]
+    go_l = live & (x < x_origin)
+    go_r = live & (x >= x_origin + width)
+    # group: stayers(0) < left(1) < right(2) < dead(3); the multi-operand
+    # sort carries all fields (cheaper than argsort + gathers, BASELINE.md)
+    key = (go_l.astype(jnp.int32) + 2 * go_r.astype(jnp.int32)
+           + jnp.where(live, 0, 3))
+    out = jax.lax.sort((key,) + tuple(movers[i] for i in range(7)),
+                       num_keys=1, is_stable=False)
+    key_s = out[0]
+    rows = jnp.stack(out[1:], axis=0)                    # (7, M)
+    n_stay = jnp.sum(key_s == 0)
+    n_l = jnp.sum(key_s == 1)
+    n_r = jnp.sum(key_s == 2)
+    ar = jnp.arange(mig_cap, dtype=jnp.int32)
+
+    def pack(start, count):
+        mask = ar < jnp.minimum(count, mig_cap)
+        take = jnp.clip(start + ar, 0, max_out - 1)
+        buf = jnp.where(mask[None, :], rows[:, take], 0.0)
+        # ship id + 1: ppermute zero-fills devices with no sender (the mesh
+        # edges), and a raw 0.0 id would decode as a live phantom particle
+        return buf.at[6].set(jnp.where(mask, buf[6] + 1.0, 0.0))
+
+    buf_l = pack(n_stay, n_l)
+    buf_r = pack(n_stay + n_l, n_r)
+    lost = (jnp.maximum(n_l - mig_cap, 0)
+            + jnp.maximum(n_r - mig_cap, 0)).astype(jnp.int32)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i, i - 1) for i in range(1, n_dev)]
+    rb = jax.lax.ppermute(buf_r, axis, fwd)              # from left nbr
+    lb = jax.lax.ppermute(buf_l, axis, bwd)              # from right nbr
+    arrived = jnp.concatenate([rb, lb], axis=1)          # (7, 2*mig_cap)
+    arrived = arrived.at[6].set(arrived[6] - 1.0)        # decode; 0 -> dead
+    stay = jdx < n_stay
+    rows = rows.at[6].set(jnp.where(stay, rows[6], -1.0))
+    merged = jnp.concatenate([rows, arrived], axis=1)
+    return merged, merged[6] >= 0.0, lost
+
+
 def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
-                m_cap: int, x_origin=None) -> IncState:
+                m_cap: int, x_origin=None, exchange=None,
+                wall_params: SimParams = None, n_dev: int = 1,
+                mig_cap: int = 0, axis: str = None) -> IncState:
     """One SPH step entirely in plane space (v3: flag-only mover emission).
 
     halo -> occupancy -> density sweep -> fused force+EOS+integrate+collide
@@ -564,21 +622,44 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
     dense passes measured 44.3 vs 42.1 full-rebuild @1.2M; v2's in-kernel
     flat-1024 staging networks cost ~11 ms of force-sweep epilogue and the
     XLA consolidate 18.1 ms @1.47M.
+
+    Sharded mode (parallel/sharded.py): ``x_origin`` is the device's slab
+    binning origin, ``exchange`` the cross-device ghost-lane fill,
+    ``wall_params`` the global-domain walls, and slab-leaving movers ride
+    ICI to the x neighbors via ``exchange_movers`` (their loss to
+    ``mig_cap`` is counted into overflow).
     """
     from .pallas_sph import density_planes, accel_planes
-    assert x_origin is None, "sharded incremental path not wired yet"
 
     planes6 = pm.halo_x(state.fields6)
+    if exchange is not None:
+        planes6 = exchange(planes6, n_pos_fields=3)
     occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
     rho_p = density_planes(planes6[:3], occ_q, occ_s, params, geom)
     rho_h = pm.halo_x(rho_p)
+    if exchange is not None:
+        rho_h = exchange(rho_h[None], n_pos_fields=0)[0]
+    slab = None
+    if x_origin is not None:
+        width = jnp.float32(geom.nx * params.cell)
+        x0 = jnp.asarray(x_origin, jnp.float32)
+        slab = jnp.stack([x0, x0 + width])
     new6, flagp = accel_planes(planes6, rho_h, occ_q, occ_s, params,
-                               geom, fuse_integrate=True, emit_movers=True)
+                               geom, fuse_integrate=True, emit_movers=True,
+                               wall_params=wall_params, slab=slab)
     movers, m, staged_total = extract_movers(new6, state.idp, flagp, geom,
                                              m_cap)
-    arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin)
+    live = None
+    lost_ship = jnp.int32(0)
+    if n_dev > 1:
+        movers, live, lost_ship = exchange_movers(
+            movers, m, jnp.asarray(x_origin, jnp.float32), width,
+            mig_cap, n_dev, axis)
+    arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin,
+                                   live=live)
     fields6, idp, lost_rank = consolidate(new6, state.idp, flagp, arr, geom)
-    overflow = (state.overflow + (staged_total - m) + lost_dup + lost_rank)
+    overflow = (state.overflow + (staged_total - m) + lost_dup + lost_rank
+                + lost_ship)
     return IncState(fields6=fields6, idp=idp, overflow=overflow)
 
 

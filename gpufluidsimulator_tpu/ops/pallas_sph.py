@@ -169,6 +169,11 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     BASELINE.md — v3 replaces that with one extra output channel.)
     """
     dzs, dys, dxs = _stencil(params.dim)
+    if emit_movers:
+        # third scalar-prefetch operand: (2,) f32 [slab binning x-origin,
+        # slab end) — equal to the global x bounds on a single chip, the
+        # device's slab under spatial sharding (parallel/sharded.py)
+        slab_ref, args = args[0], args[1:]
     n_in = 3 * len(dzs)
     refs, rest = args[:n_in], args[n_in:]
     rrefs, rest = rest[:n_in], rest[n_in:]
@@ -318,15 +323,22 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
             inv = jnp.float32(1.0 / params.cell)
             lo = params.bounds_min
 
-            def cellc(c, ncells):
-                f = jnp.floor((pnew[c] - jnp.float32(lo[c])) * inv)
+            def cellc(c, ncells, base=None):
+                b = jnp.float32(lo[c]) if base is None else base
+                f = jnp.floor((pnew[c] - b) * inv)
                 return jnp.clip(f.astype(jnp.int32), 0, ncells - 1)
 
-            moved = cellc(0, geom.nx) != gx
+            x0 = slab_ref[0]          # slab binning origin (= lo[0] 1-chip)
+            moved = cellc(0, geom.nx, base=x0) != gx
             moved |= cellc(1, geom.ny) + ROWS_PER_BLOCK \
                 != (by + 1) * ROWS_PER_BLOCK + row
             if params.dim == 3:
                 moved |= cellc(2, geom.nz) != bz
+            # clipping hides slab exits: a particle leaving through the
+            # slab's x faces keeps its clipped edge cell, so flag it
+            # explicitly (single chip: collide clamps x inside the slab,
+            # so these terms are always False and the flag is unchanged)
+            moved |= (pnew[0] < x0) | (pnew[0] >= slab_ref[1])
             moved &= valid_q & interior
             zeros = jnp.zeros(shape, jnp.float32)
             p3 = list(pnew) + [zeros] * (3 - params.dim)
@@ -443,7 +455,7 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
                  params: SimParams, geom: PlaneGeom,
                  fuse_integrate: bool = False,
                  wall_params: SimParams = None,
-                 emit_movers: bool = False):
+                 emit_movers: bool = False, slab=None):
     """(6, K, pz, n_bx, py, 128) pos/vel planes + (K, pz, n_bx, py, 128)
     density planes -> (3, ...) acceleration (pressure + viscosity; gravity
     NOT included).  The EOS runs fused inside the kernel.
@@ -456,7 +468,11 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
     -> (new6, flagp) where new6 holds the UNBLANKED post-step pos/vel planes
     and flagp (K, pz, n_bx, py, 128) is 1.0 on interior slots whose particle
     left its cell this step (its ghost blocks, like new6's, are unwritten
-    garbage — ops/inc.py masks by interior region).
+    garbage — ops/inc.py masks by interior region).  ``slab`` (2,) f32
+    [binning x-origin, slab end) marks particles leaving the device's x
+    slab as movers under spatial sharding; default is the global domain
+    padded by one cell, which never triggers on a single chip (collide
+    clamps x inside the walls).
     """
     n_dz = 3 if geom.dim == 3 else 1
     grid, in_specs = _grid_and_specs(geom, 6)
@@ -485,8 +501,14 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
         memory_space=pltpu.VMEM)
     main_shape = jax.ShapeDtypeStruct(
         (n_out, geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32)
+    extra_scalars = []
     if emit_movers:
         assert fuse_integrate
+        if slab is None:
+            slab = jnp.asarray([params.bounds_min[0],
+                                params.bounds_max[0] + params.cell],
+                               jnp.float32)
+        extra_scalars = [jnp.asarray(slab, jnp.float32)]
         out_specs = [
             main_spec,
             pl.BlockSpec((geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
@@ -500,7 +522,7 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
     else:
         out_specs, out_shape = main_spec, main_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 + len(extra_scalars),
         grid=grid,
         in_specs=in_specs + rho_specs,
         out_specs=out_specs,
@@ -517,7 +539,7 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
-    )(occ_q.reshape(-1), occ_s.reshape(-1),
+    )(occ_q.reshape(-1), occ_s.reshape(-1), *extra_scalars,
       *([field_planes] * n_copies), *([rho_planes] * n_copies))
 
 

@@ -242,6 +242,69 @@ def run_sharded(sstate: ShardedState, params: SimParams, mesh: Mesh,
                         overflow=ovf, mig_overflow=mig)
 
 
+def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
+                    n_steps: int, mig_cap: Optional[int] = None
+                    ) -> ShardedState:
+    """Advance n_steps on the incremental (planes-resident) pipeline.
+
+    Each device's rank-plane stack is the scan-carried state (one
+    ``inc.to_planes`` conversion per rollout, not per step); ghost lanes
+    and slab-crossing movers ride ICI inside the scan — the migration
+    payload is two (7, mig_cap) mover buffers per step instead of the
+    full-path's particle-array repack (ops/inc.py ``exchange_movers``).
+    Capacity losses (mover stage, ICI buffers, arrival ranks, cell ranks)
+    all accumulate into ``overflow``; ``mig_overflow`` stays untouched.
+    """
+    from ..ops import inc
+    n_dev = mesh.devices.size
+    params_loc, nx_local = local_params(params, n_dev)
+    params_loc = params_loc.replace(diagnostics=False)
+    geom = pm.geometry(params_loc)
+    n_cap = sstate.pos.shape[1]
+    mv_cap = inc.mover_capacity(n_cap)
+    if mig_cap is None:
+        mig_cap = max(128, n_cap // 64)
+    exchange = make_exchange(n_dev, nx_local)
+    width = nx_local * params.cell
+    d = sstate.pos.shape[-1]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS),) * 6,
+        check_rep=False)
+    def fn(pos, vel, ids, ovf0):
+        x_origin = (jnp.float32(params.bounds_min[0])
+                    + jax.lax.axis_index(AXIS).astype(jnp.float32)
+                    * jnp.float32(width))
+        s0 = inc.to_planes(pos[0], vel[0], ids[0], params_loc, geom,
+                           x_origin=x_origin, active=ids[0] >= 0)
+
+        def body(s, _):
+            return inc.step_planes(
+                s, params_loc, geom, mv_cap, x_origin=x_origin,
+                exchange=exchange, wall_params=params, n_dev=n_dev,
+                mig_cap=mig_cap, axis=AXIS), None
+
+        sN, _ = jax.lax.scan(body, s0, None, length=n_steps)
+        vals, cnt = inc.to_flat(sN, params_loc, geom, n_cap)
+        live = jnp.arange(vals.shape[1], dtype=jnp.int32) < cnt
+        posn = jnp.stack([jnp.where(live, vals[c], pm.SENTINEL)
+                          for c in range(d)], axis=-1)[:n_cap]
+        veln = jnp.stack([jnp.where(live, vals[3 + c], 0.0)
+                          for c in range(d)], axis=-1)[:n_cap]
+        idsn = jnp.where(live, vals[6].astype(jnp.int32), -1)[:n_cap]
+        rho = jnp.full((n_cap,), params.rest_density, jnp.float32)
+        pres = jnp.zeros((n_cap,), jnp.float32)
+        return (posn[None], veln[None], rho[None], pres[None], idsn[None],
+                ovf0 + sN.overflow.reshape(1))
+
+    pos, vel, rho, pres, ids, ovf = jax.jit(fn)(
+        sstate.pos, sstate.vel, sstate.ids, sstate.overflow)
+    return ShardedState(pos=pos, vel=vel, rho=rho, pres=pres, ids=ids,
+                        overflow=ovf, mig_overflow=sstate.mig_overflow)
+
+
 # ---------------------------------------------------------------------------
 # host-side distribute / gather
 # ---------------------------------------------------------------------------
@@ -316,16 +379,24 @@ class ShardedSim:
     def __init__(self, params: SimParams, state: State,
                  mesh: Optional[Mesh] = None,
                  n_cap: Optional[int] = None,
-                 m_cap: Optional[int] = None):
+                 m_cap: Optional[int] = None,
+                 method: str = "pallas"):
+        if method not in ("pallas", "pallas_inc"):
+            raise ValueError(f"unknown sharded method {method!r}")
         self.params = params
         self.mesh = mesh or make_mesh()
         self.n_total = state.n
+        self.method = method
         self.sstate, self.m_cap = distribute(params, state, self.mesh,
                                              n_cap, m_cap)
 
     def step(self, n: int = 1) -> ShardedState:
-        self.sstate = run_sharded(self.sstate, self.params, self.mesh,
-                                  n, self.m_cap)
+        if self.method == "pallas_inc":
+            self.sstate = run_sharded_inc(self.sstate, self.params,
+                                          self.mesh, n)
+        else:
+            self.sstate = run_sharded(self.sstate, self.params, self.mesh,
+                                      n, self.m_cap)
         return self.sstate
 
     def gather(self) -> State:

@@ -40,9 +40,12 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
                    help="vertical gravity (m/s^2, negative = down)")
     p.add_argument("--cell-capacity", type=int, default=None)
     p.add_argument("--method", default="auto",
-                   choices=["auto", "naive", "gridded", "pallas", "native"],
-                   help="'native' = multithreaded C++ CPU engine (the "
-                        "reference's CPU mode analog)")
+                   choices=["auto", "naive", "gridded", "pallas",
+                            "pallas_inc", "native"],
+                   help="'pallas_inc' = incremental binning (planes-resident"
+                        " state, movers-only re-sort — the production TPU "
+                        "mode); 'native' = multithreaded C++ CPU engine "
+                        "(the reference's CPU mode analog)")
     p.add_argument("--sharded", action="store_true",
                    help="spatial sharding over all visible devices "
                         "(shard_map + ppermute ghost exchange)")
@@ -89,8 +92,10 @@ def cmd_run(args) -> int:
             """Expose a ShardedSim through the FluidSim step/state API."""
 
             def __init__(self, params, state):
-                self._sim = ShardedSim(params, state)
-                self.method = (f"sharded-pallas x"
+                method = (args.method if args.method in
+                          ("pallas", "pallas_inc") else "pallas")
+                self._sim = ShardedSim(params, state, method=method)
+                self.method = (f"sharded-{method} x"
                                f"{self._sim.mesh.devices.size}")
                 self.state = state
 
