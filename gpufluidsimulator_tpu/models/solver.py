@@ -93,8 +93,17 @@ def _run_scan(state: State, params: SimParams, n_steps: int,
 
 def run(state: State, params: SimParams, n_steps: int,
         method: str = "auto") -> State:
-    """Advance ``n_steps`` in one jitted lax.scan device program."""
+    """Advance ``n_steps`` in one jitted lax.scan device program.
+
+    'auto' picks the incremental (planes-resident) pipeline for long
+    rollouts at scale — its per-rollout conversion costs two full sorts,
+    amortized over the steps, and each step then beats the full rebuild
+    by ~25-35% (BASELINE.md); overflow semantics are identical.
+    """
+    auto = method == "auto"
     method = resolve_method(method, state.n)
+    if auto and method == "pallas" and n_steps >= 16 and state.n > 32768:
+        method = "pallas_inc"
     if method == "pallas_inc":
         from ..ops import inc
         return inc.run_inc(state, params, n_steps)
@@ -154,11 +163,14 @@ class FluidSim:
             self.method = "native"
         else:
             self.method = resolve_method(method, state.n)
+        # keep the raw request: run() upgrades 'auto' rollouts at scale to
+        # the incremental pipeline (an explicit method is honored verbatim)
+        self._requested = method
 
     def step(self, n: int = 1) -> State:
         if self.method == "native":
             return self._step_native(n)
-        self.state = run(self.state, self.params, n, self.method)
+        self.state = run(self.state, self.params, n, self._requested)
         return self.state
 
     def _step_native(self, n: int) -> State:
