@@ -84,11 +84,26 @@ def resolve_method(method: str, n: int) -> str:
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_steps", "method"))
-def _run_scan(state: State, params: SimParams, n_steps: int,
-              method: str) -> State:
+def _run_scan_chunk(state: State, params: SimParams, n_steps: int,
+                    method: str) -> State:
     fn = _METHODS[method]
     return jax.lax.scan(lambda s, _: (fn(s, params), None),
                         state, None, length=n_steps)[0]
+
+
+def _run_scan(state: State, params: SimParams, n_steps: int,
+              method: str) -> State:
+    # split long rollouts into several device programs: the axon worker
+    # kills programs past ~60-90 s (see ops/inc.STEP_BUDGET_PER_PROGRAM);
+    # chunks chain as async dispatches, no host sync between them
+    from ..ops.inc import STEP_BUDGET_PER_PROGRAM
+    chunk = max(64, STEP_BUDGET_PER_PROGRAM // max(state.n, 1))
+    done = 0
+    while done < n_steps:
+        k = min(chunk, n_steps - done)
+        state = _run_scan_chunk(state, params, k, method)
+        done += k
+    return state
 
 
 def run(state: State, params: SimParams, n_steps: int,

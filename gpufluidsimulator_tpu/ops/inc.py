@@ -667,34 +667,63 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
 # flat-state entry points (solver registry / run)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("params", "n"))
+def _inc_convert_in(pos, vel, ids, overflow0, params: SimParams, n: int):
+    geom = pm.geometry(params)
+    state0 = to_planes(pos, vel, ids, params, geom)
+    return state0._replace(overflow=state0.overflow + overflow0)
+
+
 @functools.partial(jax.jit, static_argnames=("params", "n_steps", "n"))
-def _run_inc(pos, vel, ids, overflow0, params: SimParams, n_steps: int,
-             n: int):
+def _inc_scan_chunk(state: IncState, params: SimParams, n_steps: int,
+                    n: int) -> IncState:
     geom = pm.geometry(params)
     m_cap = mover_capacity(n)
-    state0 = to_planes(pos, vel, ids, params, geom)
-    state0 = state0._replace(overflow=state0.overflow + overflow0)
 
     def body(s, _):
         return step_planes(s, params, geom, m_cap), None
 
-    stateN = jax.lax.scan(body, state0, None, length=n_steps)[0]
-    vals, cnt = to_flat(stateN, params, geom, n)
-    return vals, cnt, stateN.overflow
+    return jax.lax.scan(body, state, None, length=n_steps)[0]
 
 
-def run_inc(state, params: SimParams, n_steps: int):
+@functools.partial(jax.jit, static_argnames=("params", "n"))
+def _inc_convert_out(state: IncState, params: SimParams, n: int):
+    geom = pm.geometry(params)
+    vals, cnt = to_flat(state, params, geom, n)
+    return vals, cnt, state.overflow
+
+
+# Per-program particle-step budget: the axon TPU worker kills device
+# programs running longer than ~60-90 s (a 2000-step scan @1M — ~90 s —
+# reproducibly dies; 1000 steps — ~45 s — is fine; the chunked run is
+# numerically identical).  2e8 particle-steps ≈ 10 s at the measured
+# rates, a comfortable margin.  Chunks are chained async dispatches —
+# no host sync between them, just separate device programs.
+STEP_BUDGET_PER_PROGRAM = int(2e8)
+
+
+def run_inc(state, params: SimParams, n_steps: int, chunk: int = None):
     """models.State -> models.State after n_steps on the incremental path.
 
-    The whole rollout (conversion + scan + extraction) is one jitted device
-    program.  Slots lost to overflow (counted in ``state.overflow``) leave
-    parked rows at the array tail (pos=bounds corner, vel=0, ids=-1).
+    One planes conversion per rollout; the scan is split into multiple
+    device programs if it would exceed the worker's program-time budget.
+    Slots lost to overflow (counted in ``state.overflow``) leave parked
+    rows at the array tail (pos=bounds corner, vel=0, ids=-1).
     """
     from ..models.state import State
 
     n = state.n
-    vals, cnt, overflow = _run_inc(state.pos, state.vel, state.ids,
-                                   state.overflow, params, n_steps, n)
+    if chunk is None:
+        chunk = max(64, STEP_BUDGET_PER_PROGRAM // max(n, 1))
+    s = _inc_convert_in(state.pos, state.vel, state.ids, state.overflow,
+                        params, n)
+    done = 0
+    while done < n_steps:
+        # at most two distinct k values per rollout -> two compiles
+        k = min(chunk, n_steps - done)
+        s = _inc_scan_chunk(s, params, k, n)
+        done += k
+    vals, cnt, overflow = _inc_convert_out(s, params, n)
     live = jnp.arange(vals.shape[1], dtype=jnp.int32) < cnt
     lo = jnp.asarray(params.bounds_min, jnp.float32)
     dim = params.dim
