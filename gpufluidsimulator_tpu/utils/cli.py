@@ -158,6 +158,19 @@ def cmd_bench(args) -> int:
         sim.step(max(1, args.k2 - args.k1))
         t = (time.perf_counter() - t0) / max(1, args.k2 - args.k1)
         method = "native"
+    elif args.method == "pallas_inc":
+        # planes-resident pipeline: the carried state is the plane stack,
+        # so slope-time step_planes over an IncState (the single-step
+        # registry facade re-converts per call and would mis-measure)
+        from ..ops import inc
+        from ..ops import planes as pm
+        method = "pallas_inc"
+        geom = pm.geometry(params)
+        m_cap = inc.mover_capacity(state.n)
+        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+        t = profiling.slope_time(
+            lambda s: inc.step_planes(s, params, geom, m_cap), s0,
+            k1=args.k1, k2=args.k2)
     else:
         method = solver.resolve_method(args.method, state.n)
         fn = solver._METHODS[method]

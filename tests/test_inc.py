@@ -252,3 +252,16 @@ def test_run_inc_via_facade():
     p = sim.get_positions()
     assert np.isfinite(p).all()
     assert int(sim.state.overflow) == 0
+
+
+def test_run_inc_chunked_matches_single_program():
+    """Splitting the rollout into several device programs (the worker
+    kills ~90 s programs; ops/inc.STEP_BUDGET_PER_PROGRAM) must be
+    bitwise-identical to one program — same math, same plane state."""
+    from gpufluidsimulator_tpu.ops import inc
+    params, state = _scene(n=700, dim=2)
+    one = inc.run_inc(state, params, 9, chunk=9)
+    many = inc.run_inc(state, params, 9, chunk=2)
+    np.testing.assert_array_equal(np.asarray(one.pos), np.asarray(many.pos))
+    np.testing.assert_array_equal(np.asarray(one.vel), np.asarray(many.vel))
+    np.testing.assert_array_equal(np.asarray(one.ids), np.asarray(many.ids))
