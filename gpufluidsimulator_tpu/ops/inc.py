@@ -137,7 +137,7 @@ def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
 # flagged compaction: plane slots -> compact particle rows (no gathers)
 # ---------------------------------------------------------------------------
 
-def _compact_kernel(tile_ids_ref, starts_ref, *refs, n_ch: int,
+def _compact_kernel(tile_ids_ref, starts_ref, nlive_ref, *refs, n_ch: int,
                     rows_total: int, nt: int):
     """Compact the flagged slots of one routing tile into its particle run.
 
@@ -248,12 +248,19 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     flat_ch = [c.reshape(rows_total, LANES) for c in channels]
     flat_fl = flat_flags.reshape(rows_total, LANES).astype(jnp.float32)
 
+    def omap(t, tids_ref, starts_ref, nlive_ref):
+        # all empty-tile programs (the compacted tail) share ONE dummy
+        # strip row: Pallas copies every visited out block back to HBM
+        # whether written or not, and at 2.3% mover density more than
+        # half the tile programs are empty — ~0.7 ms of garbage copies
+        return (jnp.where(t < nlive_ref[0], t, nt), 0, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_ch + 1),
         out_specs=pl.BlockSpec(
-            (1, n_ch, PAD_ROWS, LANES), lambda t, *_: (t, 0, 0, 0),
+            (1, n_ch, PAD_ROWS, LANES), omap,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, n_ch + 1, OUT_ROWS, LANES), jnp.float32),
@@ -265,10 +272,13 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     strips = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, n_ch, PAD_ROWS, LANES),
+        out_shape=jax.ShapeDtypeStruct((nt + 1, n_ch, PAD_ROWS, LANES),
                                        jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_ids, starts_c, *flat_ch, flat_fl)
+    )(tile_ids, starts_c, n_live.reshape(1), *flat_ch, flat_fl)
+    # the dummy row rides along — stitch spans [tfirst, tlast] from
+    # starts_c, all < nt, so it never reads it (slicing it off here would
+    # materialize a copy of the whole strip array)
 
     n_blocks = max_out // TILE
     p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE
