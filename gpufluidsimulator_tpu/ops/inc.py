@@ -304,9 +304,11 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     movers: (7, M) slot-ordered mover rows (x,y,z,vx,vy,vz,id); m: live count
     (or an explicit (M,) ``live`` mask — the sharded path merges ICI-received
     movers into the tail, so liveness is not a prefix there).
-    Returns (stack (7, ARRIVAL_K, pz, n_bx, py, 128) — no shift channel,
-    arrival planes are never un-placed — and the count of arrivals dropped
-    for exceeding ARRIVAL_K same-cell arrivals or the M capacity).
+    Returns (flat-tile stack (7, nt_a+1, 64, 128) in place's skip-empty
+    form — no shift channel, arrival planes are never un-placed, dead
+    tiles hold garbage behind the dummy; tile liveness (nt_a,); and the
+    count of arrivals dropped for exceeding ARRIVAL_K same-cell arrivals
+    or the M capacity).
     """
     max_out = movers.shape[1]
     jdx = jnp.arange(max_out, dtype=jnp.int32)
@@ -342,27 +344,44 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
 
     fields2d = [pad2d(c, 0.0) for c in out2[1:]]
     slot2d = pad2d(slot_s, ARRIVAL_K * cells + route.LOCAL)
-    bases = jnp.arange(route.n_tiles(gk) + 1, dtype=jnp.int32) * TILE
+    nt_a = route.n_tiles(gk)
+    bases = jnp.arange(nt_a + 1, dtype=jnp.int32) * TILE
     starts = jnp.searchsorted(slot_s, bases).astype(jnp.int32)
+    # flat-tile skip-empty form: at ~2% arrival occupancy, filling and
+    # copying the full (7, A_K, cells) stack costs ~1.5 ms of pure HBM
+    # traffic for ~40k particles of payload; empty tiles now hold garbage
+    # behind the dummy block and consolidate gates its reads by ``live``
     stack = route.place(fields2d, slot2d, starts, gk, n_pos=3,
-                        with_shift=False)
-    return stack, dropped
+                        with_shift=False, skip_empty=True)
+    live = (starts[1:] > starts[:-1]).astype(jnp.int32)     # (nt_a,)
+    return stack, live, dropped
 
 
-def _consolidate_kernel(new6_ref, idp_ref, flag_ref, arr_ref,
-                        out6_ref, oid_ref, drop_ref, *, geom: PlaneGeom):
+def _consolidate_kernel(tidx_ref, occ_ref, new6_ref, idp_ref, flag_ref,
+                        *rest, geom: PlaneGeom):
     """Per-block rank compaction: kept (K ranks, movers flagged out) +
     arrival (ARRIVAL_K ranks) slots down to K dense ranks, in VMEM with
     static rank indexing.  (The XLA formulation of the same select-sum
     materializes ~96 full-slot-space intermediates and measured 18.1 ms
-    @1.47M — HBM-bound on temporaries, not compute; BASELINE.md.)"""
+    @1.47M — HBM-bound on temporaries, not compute; BASELINE.md.)
+
+    Arrival ranks arrive as ARRIVAL_K separate views of the flat-tile
+    skip-empty stack; dead (rank, tile) pairs were never written (their
+    index maps all point at the dummy tile, fetched once), so every
+    arrival read is gated by ``a < occ_ref[spatial tile]``.
+    """
     k = geom.k
     a_k = ARRIVAL_K
+    arrs = rest[:a_k]                      # (7, 1, 8, 128) views
+    out6_ref, oid_ref, drop_ref = rest[a_k:a_k + 3]
     if geom.dim == 3:
         bz, bx, byb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     else:
         bz = 0
         bx, byb = pl.program_id(0), pl.program_id(1)
+    t_sp = ((bz * geom.n_bx + bx) * (geom.py // route.OUT_ROWS)
+            + byb // (route.OUT_ROWS // ROWS_PER_BLOCK))
+    occ_a = occ_ref[t_sp]
     shape = (ROWS_PER_BLOCK, LANES)
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -384,7 +403,8 @@ def _consolidate_kernel(new6_ref, idp_ref, flag_ref, arr_ref,
         cnts.append(cnt)
         cnt = cnt + v.astype(jnp.int32)
     for a in range(a_k):
-        v = (arr_ref[0, a, 0, 0, :, :] < SENTINEL * 0.5) & inter
+        v = ((a < occ_a) & (arrs[a][0, 0, :, :] < SENTINEL * 0.5)
+             & inter)
         valids.append(v)
         cnts.append(cnt)
         cnt = cnt + v.astype(jnp.int32)
@@ -395,7 +415,7 @@ def _consolidate_kernel(new6_ref, idp_ref, flag_ref, arr_ref,
             if f < 6:
                 return new6_ref[f, i, 0, 0, :, :]
             return idp_ref[i, 0, 0, :, :]
-        return arr_ref[f, i - k, 0, 0, :, :]
+        return arrs[i - k][f, 0, :, :]
 
     for r in range(k):
         sels = [valids[i] & (cnts[i] == r) for i in range(k + a_k)]
@@ -440,62 +460,106 @@ def consolidate_jnp(new6, idp, flagp, arrivals, geom: PlaneGeom):
     return fields6, idp_o, n_dropped
 
 
-def consolidate(new6, idp, flagp, arrivals, geom: PlaneGeom,
+def consolidate(new6, idp, flagp, arr_flat, live, geom: PlaneGeom,
                 use_kernel=None):
     """Per-cell rank compaction of kept (K ranks; this step's movers and all
     non-interior slots excluded) + arrival (ARRIVAL_K ranks) slots down to K
     dense ranks.  Heals rank gaps left by departures and re-sanitizes the
     force kernel's unwritten ghost blocks / stale halo lanes in the same
-    pass.  Returns (fields6, idp, n_dropped)."""
+    pass.  ``arr_flat`` is arrival_planes' flat-tile skip-empty stack
+    (7, nt_a+1, 64, 128) with ``live`` (nt_a,) tile liveness — dead tiles
+    hold garbage and are never fetched (their index maps share the dummy
+    tile, which Pallas fetches once).  Returns (fields6, idp, n_dropped).
+    """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
-    if not use_kernel:
-        return consolidate_jnp(new6, idp, flagp, arrivals, geom)
-
     k, a_k = geom.k, ARRIVAL_K
+    nt_a = arr_flat.shape[1] - 1
+    tpr = nt_a // a_k
+    if not use_kernel:
+        dense = arr_flat[:, :nt_a].reshape(
+            7, a_k, geom.pz, geom.n_bx, geom.py, LANES)
+        return consolidate_jnp(new6, idp, flagp, dense, geom)
+
+    # prefetch tables: per-(rank, spatial tile) block index (dummy when
+    # dead) and per-spatial-tile arrival-rank bound.  Cell-level dup ranks
+    # are contiguous, so tile liveness is contiguous in rank and the
+    # bound is just the sum.
+    live2 = live.reshape(a_k, tpr)
+    tidx = jnp.where(live2.astype(bool),
+                     jnp.arange(nt_a, dtype=jnp.int32).reshape(a_k, tpr),
+                     nt_a).reshape(-1)
+    occ_t = jnp.sum(live2, axis=0).astype(jnp.int32)
+    sub = route.OUT_ROWS // ROWS_PER_BLOCK
+
     if geom.dim == 3:
         grid = (geom.pz, geom.n_bx, geom.py // ROWS_PER_BLOCK)
 
-        def idx6(bz, bx, byb):
+        def sp(bz, bx, byb):
+            return ((bz * geom.n_bx + bx) * (geom.py // route.OUT_ROWS)
+                    + byb // sub)
+
+        def idx6(bz, bx, byb, *_):
             return (0, 0, bz, bx, byb, 0)
 
-        def idx1(bz, bx, byb):
+        def idx1(bz, bx, byb, *_):
             return (0, bz, bx, byb, 0)
 
-        def idxd(bz, bx, byb):
+        def idxd(bz, bx, byb, *_):
             return ((bz * geom.n_bx + bx) * (geom.py // ROWS_PER_BLOCK)
                     + byb, 0, 0)
+
+        def mk_arr(a):
+            def f(bz, bx, byb, tidx_ref, occ_ref):
+                i = tidx_ref[a * tpr + sp(bz, bx, byb)]
+                j = jnp.where(i == nt_a, 0, byb % sub)
+                return (0, i, j, 0)
+            return f
     else:
         grid = (geom.n_bx, geom.py // ROWS_PER_BLOCK)
 
-        def idx6(bx, byb):
+        def sp2(bx, byb):
+            return bx * (geom.py // route.OUT_ROWS) + byb // sub
+
+        def idx6(bx, byb, *_):
             return (0, 0, 0, bx, byb, 0)
 
-        def idx1(bx, byb):
+        def idx1(bx, byb, *_):
             return (0, 0, bx, byb, 0)
 
-        def idxd(bx, byb):
+        def idxd(bx, byb, *_):
             return (bx * (geom.py // ROWS_PER_BLOCK) + byb, 0, 0)
+
+        def mk_arr(a):
+            def f(bx, byb, tidx_ref, occ_ref):
+                i = tidx_ref[a * tpr + sp2(bx, byb)]
+                j = jnp.where(i == nt_a, 0, byb % sub)
+                return (0, i, j, 0)
+            return f
 
     n_blocks = geom.pz * geom.n_bx * (geom.py // ROWS_PER_BLOCK)
     blk6 = (6, k, 1, 1, ROWS_PER_BLOCK, LANES)
     blk1 = (k, 1, 1, ROWS_PER_BLOCK, LANES)
-    blka = (arrivals.shape[0], a_k, 1, 1, ROWS_PER_BLOCK, LANES)
-    out6, oid, drop = pl.pallas_call(
-        functools.partial(_consolidate_kernel, geom=geom),
+    blka = (7, 1, ROWS_PER_BLOCK, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
             pl.BlockSpec(blk6, idx6, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blka, idx6, memory_space=pltpu.VMEM),
-        ],
+        ] + [pl.BlockSpec(blka, mk_arr(a), memory_space=pltpu.VMEM)
+             for a in range(a_k)],
         out_specs=[
             pl.BlockSpec(blk6, idx6, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ROWS_PER_BLOCK, LANES), idxd,
                          memory_space=pltpu.VMEM),
         ],
+    )
+    out6, oid, drop = pl.pallas_call(
+        functools.partial(_consolidate_kernel, geom=geom),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(new6.shape, jnp.float32),
             jax.ShapeDtypeStruct(idp.shape, jnp.float32),
@@ -503,7 +567,7 @@ def consolidate(new6, idp, flagp, arrivals, geom: PlaneGeom,
                                  jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(new6, idp, flagp, arrivals)
+    )(tidx, occ_t, new6, idp, flagp, *([arr_flat] * a_k))
     return out6, oid, jnp.sum(drop[:, 0, 0]).astype(jnp.int32)
 
 
@@ -665,9 +729,10 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
         movers, live, lost_ship = exchange_movers(
             movers, m, jnp.asarray(x_origin, jnp.float32), width,
             mig_cap, n_dev, axis)
-    arr, lost_dup = arrival_planes(movers, m, params, geom, x_origin,
-                                   live=live)
-    fields6, idp, lost_rank = consolidate(new6, state.idp, flagp, arr, geom)
+    arr, live_t, lost_dup = arrival_planes(movers, m, params, geom,
+                                           x_origin, live=live)
+    fields6, idp, lost_rank = consolidate(new6, state.idp, flagp, arr,
+                                          live_t, geom)
     overflow = (state.overflow + (staged_total - m) + lost_dup + lost_rank
                 + lost_ship)
     return IncState(fields6=fields6, idp=idp, overflow=overflow)

@@ -107,12 +107,15 @@ def route_fwd(fields, shift, flag, rows: int = ROWS):
 
 
 def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
-                      n_pos: int, with_shift: bool = True):
+                      n_pos: int, with_shift: bool = True,
+                      flat_out: bool = False):
     """One routing tile: DMA the slot-sorted particle slice, butterfly-route
     it onto its slots, write the plane block (+ shift channel unless
     ``with_shift=False`` — stacks that are never un-placed, like the
     incremental path's arrival planes, skip it and save one routed channel
-    plus 1/(F+1) of the stack's HBM traffic)."""
+    plus 1/(F+1) of the stack's HBM traffic).  ``flat_out``: the
+    skip-empty flat-tile layout (see place) — empty tiles write nothing
+    (they share the dummy block)."""
     t = pl.program_id(0)
     start = starts_ref[t]
     m = starts_ref[t + 1] - start
@@ -126,17 +129,25 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
     sscr = refs[n_fields + 3]                         # (ROWS, 128) i32
     sems = refs[n_fields + 4]                         # DMA sems (F+1,)
 
+    def write(i, val):
+        if flat_out:
+            out_ref[i, 0, :, :] = val
+        else:
+            out_ref[i, 0, 0, 0, :, :] = val
+
     @pl.when(m == 0)
     def _():
         # empty tile (most of the rank-plane space is): sentinel/zero fill,
-        # no DMA, no routing — measured ~5% off the whole step @1M
-        for i in range(n_fields):
-            fill = pm.SENTINEL if i < n_pos else 0.0
-            out_ref[i, 0, 0, 0, :, :] = jnp.full((OUT_ROWS, LANES), fill,
-                                                 jnp.float32)
-        if with_shift:
-            out_ref[n_fields, 0, 0, 0, :, :] = jnp.full(
-                (OUT_ROWS, LANES), -1.0, jnp.float32)
+        # no DMA, no routing — measured ~5% off the whole step @1M.  In
+        # flat_out mode empty tiles all map to the dummy block: skip even
+        # the fill, the consumer gates reads by tile liveness.
+        if not flat_out:
+            for i in range(n_fields):
+                fill = pm.SENTINEL if i < n_pos else 0.0
+                write(i, jnp.full((OUT_ROWS, LANES), fill, jnp.float32))
+            if with_shift:
+                write(n_fields, jnp.full((OUT_ROWS, LANES), -1.0,
+                                         jnp.float32))
 
     @pl.when(m != 0)
     def _():
@@ -170,12 +181,12 @@ def _placement_kernel(starts_ref, *refs, geom: PlaneGeom, n_fields: int,
         for i in range(n_fields):
             fill = pm.SENTINEL if i < n_pos else 0.0
             val = jnp.where(filled, routed[i], fill)
-            out_ref[i, 0, 0, 0, :, :] = val[1:1 + OUT_ROWS, :]
+            write(i, val[1:1 + OUT_ROWS, :])
         if with_shift:
             # shift channel: routed - original position; -1 where empty
             total_shift = jnp.where(
                 filled, pos.astype(jnp.float32) - routed[n_fields], -1.0)
-            out_ref[n_fields, 0, 0, 0, :, :] = total_shift[1:1 + OUT_ROWS, :]
+            write(n_fields, total_shift[1:1 + OUT_ROWS, :])
 
 
 def tile_index_map(geom: PlaneGeom, lead_zeros: int = 1):
@@ -197,7 +208,7 @@ def tile_index_map(geom: PlaneGeom, lead_zeros: int = 1):
 
 def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
           n_pos: int = pm.N_POS_FIELDS, use_kernel=None,
-          with_shift: bool = True):
+          with_shift: bool = True, skip_empty: bool = False):
     """Route slot-sorted particles into rank-major planes.
 
     fields_sorted: F arrays (rows, 128) f32 (slot-sorted particle fields,
@@ -206,17 +217,40 @@ def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
     particle offsets per tile.  Returns an (F+1, K, pz, n_bx, py, 128) stack:
     F field planes + the routing-shift channel consumed by the inverse
     (omitted, giving an (F, ...) stack, when ``with_shift=False``).
+
+    ``skip_empty``: return the FLAT-TILE form (F, n_tiles+1, 64, 128)
+    instead (tile t = plane rows of (k, z, xo, y64) row-major), where empty
+    tiles are neither filled nor copied — they all map to the trailing
+    dummy tile and hold GARBAGE.  The consumer must gate every read by
+    tile liveness (starts[t+1] > starts[t]); the incremental path's
+    arrival stack does this via consolidate's occupancy bounds, turning
+    the sentinel-fill of a ~2%-occupied stack from full-stack HBM
+    traffic into live-tiles-only.
     """
     nf = len(fields_sorted)
     n_out = nf + 1 if with_shift else nf
     nt = n_tiles(geom)
+    if skip_empty:
+        def omap(t, starts_ref):
+            live = starts_ref[t + 1] > starts_ref[t]
+            return (0, jnp.where(live, t, nt), 0, 0)
+
+        out_spec = pl.BlockSpec((n_out, 1, OUT_ROWS, LANES), omap,
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (n_out, nt + 1, OUT_ROWS, LANES), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec(
+            (n_out, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (n_out, geom.k, geom.pz, geom.n_bx, geom.py, LANES),
+            jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (nf + 1),
-        out_specs=pl.BlockSpec(
-            (n_out, 1, 1, 1, OUT_ROWS, LANES), tile_index_map(geom),
-            memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((nf, SPACE_ROWS, LANES), jnp.float32),
             pltpu.VMEM((SPACE_ROWS, LANES), jnp.int32),
@@ -227,15 +261,22 @@ def place(fields_sorted, slot_sorted, starts, geom: PlaneGeom,
         use_kernel = jax.default_backend() == "tpu"
     if not use_kernel:
         out = _place_jnp(fields_sorted, slot_sorted, starts, geom, n_pos)
-        return out if with_shift else out[:nf]
+        out = out if with_shift else out[:nf]
+        if skip_empty:
+            # host form of the flat-tile layout (fully filled — fine, the
+            # dummy-tile garbage contract is a kernel-path optimization)
+            flat = out.reshape(n_out, nt, OUT_ROWS, LANES)
+            return jnp.concatenate(
+                [flat, jnp.zeros((n_out, 1, OUT_ROWS, LANES), flat.dtype)],
+                axis=1)
+        return out
     kernel = functools.partial(_placement_kernel, geom=geom, n_fields=nf,
-                               n_pos=n_pos, with_shift=with_shift)
+                               n_pos=n_pos, with_shift=with_shift,
+                               flat_out=skip_empty)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_out, geom.k, geom.pz, geom.n_bx, geom.py, LANES),
-            jnp.float32),
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(starts, *fields_sorted, slot_sorted)
 

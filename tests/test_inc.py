@@ -97,10 +97,10 @@ def test_incremental_rebin_matches_full_rebuild():
     movers, m = inc.compact_flagged(channels, flags,
                                     inc.mover_capacity(state.n))
     assert int(m) == n_moved
-    arr, lost_dup = inc.arrival_planes(movers, m, params, geom)
+    arr, live_t, lost_dup = inc.arrival_planes(movers, m, params, geom)
     flagp = flags.astype(jnp.float32)
     fields6, idp, lost_rank = inc.consolidate(s2.fields6, s2.idp, flagp,
-                                              arr, geom)
+                                              arr, live_t, geom)
     assert int(lost_dup) == 0 and int(lost_rank) == 0
 
     ref = pm.build_planes(new_pos, state.vel, state.ids, params, geom,
@@ -216,11 +216,11 @@ def test_consolidate_kernel_matches_jnp(dim):
     channels = [s.fields6[i] for i in range(6)] + [s.idp]
     movers, m = inc.compact_flagged(channels, flags,
                                     inc.mover_capacity(state.n))
-    arr, _ = inc.arrival_planes(movers, m, params, geom)
+    arr, live_t, _ = inc.arrival_planes(movers, m, params, geom)
     ref6, refid, refdrop = inc.consolidate(s.fields6, s.idp, flagp, arr,
-                                           geom, use_kernel=False)
+                                           live_t, geom, use_kernel=False)
     got6, gotid, gotdrop = inc.consolidate(s.fields6, s.idp, flagp, arr,
-                                           geom, use_kernel=True)
+                                           live_t, geom, use_kernel=True)
     np.testing.assert_array_equal(np.asarray(got6), np.asarray(ref6))
     np.testing.assert_array_equal(np.asarray(gotid), np.asarray(refid))
     assert int(gotdrop) == int(refdrop)
