@@ -37,6 +37,8 @@ from . import route
 from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
 from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
 
+COMPACT_BATCH = 4      # routing tiles handled per compact-kernel program
+
 ARRIVAL_K = 8          # K'': max same-cell arrivals routed per step.  Set
 # equal to the cell capacity K so the incremental path's only drop
 # condition is "post-step cell occupancy > K" — exactly the full-rebuild
@@ -141,22 +143,28 @@ def _compact_kernel(tile_ids_ref, starts_ref, nlive_ref, *refs, n_ch: int,
                     rows_total: int, nt: int):
     """Compact the flagged slots of one routing tile into its particle run.
 
-    Grid program t handles compact tile index t (tile id prefetched);
-    programs beyond the live count are skipped.  Channel refs are flat
-    (rows_total, 128) views in ANY memory; strips land as in route.extract.
-    Double-buffered: program t issues tile t+1's channel DMAs before
-    waiting on its own, so the 9-copy latency chain (~2.2k live tiles at
-    2.3% mover density — nearly every tile) hides behind the routing
-    network instead of serializing with it.
+    Grid program b handles COMPACT_BATCH consecutive compact tile indices
+    (tile ids prefetched); live tiles are a prefix of the compacted order,
+    so whole batches beyond the live count skip (and share the dummy out
+    block).  Channel refs are flat (rows_total, 128) views in ANY memory;
+    strips land as in route.extract.  Double-buffered at tile granularity
+    across sub-tiles AND across programs: each sub-tile issues its
+    successor's 9-channel DMA chain before waiting on its own, so the DMA
+    latency hides behind the routing network; batching amortizes the
+    per-program overhead over 4 tiles.
     """
-    t = pl.program_id(0)
-    m = starts_ref[t + 1] - starts_ref[t]
+    b = pl.program_id(0)
 
     ch_refs = refs[:n_ch]
     flag_ref = refs[n_ch]
-    out_ref = refs[n_ch + 1]
+    out_ref = refs[n_ch + 1]        # (1, B, n_ch, PAD_ROWS, 128) VMEM
     scr = refs[n_ch + 2]            # (2, n_ch + 1, OUT_ROWS, 128) VMEM
     sems = refs[n_ch + 3]           # (2, n_ch + 1) DMA semaphores
+    B = COMPACT_BATCH
+
+    def m_of(t):
+        tc = jnp.minimum(t, nt - 1)
+        return jnp.where(t < nt, starts_ref[tc + 1] - starts_ref[tc], 0)
 
     def dma(i, slot, tid):
         src = ch_refs[i] if i < n_ch else flag_ref
@@ -164,46 +172,49 @@ def _compact_kernel(tile_ids_ref, starts_ref, nlive_ref, *refs, n_ch: int,
             src.at[pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
             scr.at[slot, i], sems.at[slot, i])
 
-    @pl.when((t == 0) & (m > 0))
+    @pl.when((b == 0) & (m_of(0) > 0))
     def _():
         for i in range(n_ch + 1):
             dma(i, 0, tile_ids_ref[0]).start()
 
-    nxt = jnp.minimum(t + 1, nt - 1)
-    m_next = starts_ref[nxt + 1] - starts_ref[nxt]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
+    row_ = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0)
+    for j in range(B):
+        t = b * B + j
+        nxt = jnp.minimum(t + 1, nt - 1)
 
-    @pl.when((t + 1 < nt) & (m_next > 0))
-    def _():
-        for i in range(n_ch + 1):
-            dma(i, (t + 1) % 2, tile_ids_ref[nxt]).start()
+        @pl.when((t + 1 < nt) & (m_of(nxt) > 0))
+        def _(nxt=nxt, t=t):
+            for i in range(n_ch + 1):
+                dma(i, (t + 1) % 2, tile_ids_ref[nxt]).start()
 
-    @pl.when(m > 0)
-    def _():
-        tid = tile_ids_ref[t]
-        buf = t % 2
-        for i in range(n_ch + 1):
-            dma(i, buf, tid).wait()
+        @pl.when(m_of(t) > 0)
+        def _(t=t, j=j):
+            tc = jnp.minimum(t, nt - 1)
+            tid = tile_ids_ref[tc]
+            buf = t % 2
+            for i in range(n_ch + 1):
+                dma(i, buf, tid).wait()
 
-        o = starts_ref[t] % LANES
-        flag = scr[buf, n_ch, :, :]
-        flag = jnp.where(flag > 0.5, 1.0, 0.0)
-        # compact to the space front (rank <= pos, so no lift row is needed
-        # and the space is exactly the 64 data rows — one fewer stage and
-        # 8 fewer rows than routing to o + rank directly), then place the
-        # run at its lane offset with one dynamic flat-rotate; elements
-        # wrapping past 64*128 belong in the strip's 65th row
-        fields = [scr[buf, i, :, :] for i in range(n_ch)]
-        routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
-        row_ = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0)
-        for i in range(n_ch):
-            a = pltpu.roll(routed[i], o, axis=1)
-            hi = pltpu.roll(a, 1, axis=0)
-            rot = jnp.where(lane < o, hi, a)      # flat-rotate by +o
-            body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
-            out_ref[0, i, :OUT_ROWS, :] = body
-            out_ref[0, i, OUT_ROWS:, :] = jnp.where(
-                lane < o, rot, 0.0)[0:1, :]
+            o = starts_ref[tc] % LANES
+            flag = scr[buf, n_ch, :, :]
+            flag = jnp.where(flag > 0.5, 1.0, 0.0)
+            # compact to the space front (rank <= pos, so no lift row is
+            # needed and the space is exactly the 64 data rows — one fewer
+            # stage and 8 fewer rows than routing to o + rank directly),
+            # then place the run at its lane offset with one dynamic
+            # flat-rotate; elements wrapping past 64*128 belong in the
+            # strip's 65th row
+            fields = [scr[buf, i, :, :] for i in range(n_ch)]
+            routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
+            for i in range(n_ch):
+                a = pltpu.roll(routed[i], o, axis=1)
+                hi = pltpu.roll(a, 1, axis=0)
+                rot = jnp.where(lane < o, hi, a)  # flat-rotate by +o
+                body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
+                out_ref[0, j, i, :OUT_ROWS, :] = body
+                out_ref[0, j, i, OUT_ROWS:, :] = jnp.where(
+                    lane < o, rot, 0.0)[0:1, :]
 
 
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
@@ -247,20 +258,22 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
 
     flat_ch = [c.reshape(rows_total, LANES) for c in channels]
     flat_fl = flat_flags.reshape(rows_total, LANES).astype(jnp.float32)
+    nb = -(-nt // COMPACT_BATCH)
 
-    def omap(t, tids_ref, starts_ref, nlive_ref):
-        # all empty-tile programs (the compacted tail) share ONE dummy
-        # strip row: Pallas copies every visited out block back to HBM
-        # whether written or not, and at 2.3% mover density more than
-        # half the tile programs are empty — ~0.7 ms of garbage copies
-        return (jnp.where(t < nlive_ref[0], t, nt), 0, 0, 0)
+    def omap(b, tids_ref, starts_ref, nlive_ref):
+        # all-empty batches (the compacted tail) share ONE dummy out
+        # block: Pallas copies every visited out block back to HBM
+        # whether written or not, and at 2.3% mover density many tile
+        # programs are empty — ~0.7 ms of garbage copies otherwise
+        live_b = -(-nlive_ref[0] // COMPACT_BATCH)
+        return (jnp.where(b < live_b, b, nb), 0, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nt,),
+        grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_ch + 1),
         out_specs=pl.BlockSpec(
-            (1, n_ch, PAD_ROWS, LANES), omap,
+            (1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), omap,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, n_ch + 1, OUT_ROWS, LANES), jnp.float32),
@@ -272,13 +285,15 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     strips = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt + 1, n_ch, PAD_ROWS, LANES),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(tile_ids, starts_c, n_live.reshape(1), *flat_ch, flat_fl)
-    # the dummy row rides along — stitch spans [tfirst, tlast] from
-    # starts_c, all < nt, so it never reads it (slicing it off here would
-    # materialize a copy of the whole strip array)
+    # flatten batches back to per-tile strips; the dummy batch rides along
+    # at the tail — stitch spans [tfirst, tlast] from starts_c, all < nt,
+    # so it never reads it (slicing it off would materialize a copy)
+    strips = strips.reshape((nb + 1) * COMPACT_BATCH, n_ch, PAD_ROWS,
+                            LANES)
 
     n_blocks = max_out // TILE
     p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE

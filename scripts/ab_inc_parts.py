@@ -46,8 +46,9 @@ def main():
         flagp = flags.astype(jnp.float32)
         channels = [s.fields6[i] for i in range(6)] + [s.idp]
         movers, m = inc.compact_flagged(channels, flags, m_cap)
-        arr, lost = inc.arrival_planes(movers, m, params, geom)
-        f6, idp, lr = inc.consolidate(s.fields6, s.idp, flagp, arr, geom)
+        arr, live_t, lost = inc.arrival_planes(movers, m, params, geom)
+        f6, idp, lr = inc.consolidate(s.fields6, s.idp, flagp, arr,
+                                      live_t, geom)
         return inc.IncState(fields6=f6, idp=idp,
                             overflow=s.overflow + lost + lr)
 

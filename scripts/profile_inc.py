@@ -73,7 +73,7 @@ def make_prefixes(params: SimParams, m_cap: int):
     def p_arrival(s):
         new6, flagp = _swept(s)
         movers, m, tot = inc.extract_movers(new6, s.idp, flagp, geom, m_cap)
-        arr, lost_dup = inc.arrival_planes(movers, m, params, geom)
+        arr, live_t, lost_dup = inc.arrival_planes(movers, m, params, geom)
         return s._replace(fields6=feedback(s.fields6, new6, flagp, arr))
 
     def p_full(s):
