@@ -38,6 +38,13 @@ from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
 from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
 
 COMPACT_BATCH = 4      # routing tiles handled per compact-kernel program
+STAGE_B = 8            # two-level stage compaction: after the per-lane
+# (sublane-axis) compact, run the flat butterfly over only the top
+# STAGE_B rows when every lane's flagged count fits (the common case —
+# measured lane_max max = 8 / p99 = 4 at 0.84% mover density in evolved
+# double-dam-break flow, scripts/mover_rows.py); tiles with a hotter
+# lane fall back to the full 64-row flat network.  Must be a multiple of
+# 8 (sublane granularity) and a power of two (cyclic roll space).
 
 ARRIVAL_K = 8          # K'': max same-cell arrivals routed per step.  Set
 # equal to the cell capacity K so the incremental path's only drop
@@ -139,8 +146,8 @@ def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
 # flagged compaction: plane slots -> compact particle rows (no gathers)
 # ---------------------------------------------------------------------------
 
-def _compact_kernel(tile_ids_ref, starts_ref, nlive_ref, *refs, n_ch: int,
-                    rows_total: int, nt: int):
+def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
+                    n_ch: int, rows_total: int, nt: int):
     """Compact the flagged slots of one routing tile into its particle run.
 
     Grid program b handles COMPACT_BATCH consecutive compact tile indices
@@ -199,30 +206,68 @@ def _compact_kernel(tile_ids_ref, starts_ref, nlive_ref, *refs, n_ch: int,
             o = starts_ref[tc] % LANES
             flag = scr[buf, n_ch, :, :]
             flag = jnp.where(flag > 0.5, 1.0, 0.0)
-            # compact to the space front (rank <= pos, so no lift row is
-            # needed and the space is exactly the 64 data rows — one fewer
-            # stage and 8 fewer rows than routing to o + rank directly),
-            # then place the run at its lane offset with one dynamic
-            # flat-rotate; elements wrapping past 64*128 belong in the
-            # strip's 65th row
+            # two-level compact (BASELINE.md stage-compact front): first
+            # collapse each lane's flagged elements to its top rows with a
+            # 6-stage sublane-axis butterfly, then run the flat network
+            # over only the top STAGE_B rows — 10 stages on 1/8 of the
+            # tile instead of 13 on all of it.  Tiles where some lane
+            # holds > STAGE_B flags (fluid fronts aligned with the grid)
+            # fall back to the flat network over the full 64 rows; both
+            # branches produce the same (lane-rank, lane) output order,
+            # so the choice is invisible downstream.  The hot-tile bit is
+            # computed host-side and PREFETCHED — an in-kernel
+            # jnp.max(counts) branch was measured at +0.4 ms (vector ->
+            # scalar stall, the lax.cond lesson again).  The run then
+            # lands at its lane offset with one dynamic flat-rotate;
+            # elements wrapping past the body belong in the strip's 65th
+            # row.
             fields = [scr[buf, i, :, :] for i in range(n_ch)]
-            routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
-            for i in range(n_ch):
-                a = pltpu.roll(routed[i], o, axis=1)
-                hi = pltpu.roll(a, 1, axis=0)
-                rot = jnp.where(lane < o, hi, a)  # flat-rotate by +o
-                body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
-                out_ref[0, j, i, :OUT_ROWS, :] = body
-                out_ref[0, j, i, OUT_ROWS:, :] = jnp.where(
-                    lane < o, rot, 0.0)[0:1, :]
+            fields, flag, _ = route.compact_lanes(fields, flag, OUT_ROWS)
+            hot = hot_ref[tc]
+
+            @pl.when(hot == 0)
+            def _(fields=fields, flag=flag, o=o, j=j):
+                small = [f[:STAGE_B] for f in fields]
+                routed, _ = route.compact_tile(small, flag[:STAGE_B],
+                                               STAGE_B)
+                lane_s = lane[:STAGE_B]
+                for i in range(n_ch):
+                    a = pltpu.roll(routed[i], o, axis=1)
+                    hi = pltpu.roll(a, 1, axis=0)
+                    rot = jnp.where(lane_s < o, hi, a)
+                    body = jnp.where((row_[:STAGE_B] == 0)
+                                     & (lane_s < o), 0.0, rot)
+                    out_ref[0, j, i, :STAGE_B, :] = body
+                    # wrap row: the tail of the rotated run spills into
+                    # row STAGE_B; rows past it are zero (the run is at
+                    # most STAGE_B*128 long + o < 128 offset)
+                    out_ref[0, j, i, STAGE_B:STAGE_B + 1, :] = jnp.where(
+                        lane_s < o, a, 0.0)[STAGE_B - 1:STAGE_B, :]
+                    out_ref[0, j, i, STAGE_B + 1:, :] = jnp.zeros(
+                        (PAD_ROWS - STAGE_B - 1, LANES), jnp.float32)
+
+            @pl.when(hot != 0)
+            def _(fields=fields, flag=flag, o=o, j=j):
+                routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
+                for i in range(n_ch):
+                    a = pltpu.roll(routed[i], o, axis=1)
+                    hi = pltpu.roll(a, 1, axis=0)
+                    rot = jnp.where(lane < o, hi, a)  # flat-rotate by +o
+                    body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
+                    out_ref[0, j, i, :OUT_ROWS, :] = body
+                    out_ref[0, j, i, OUT_ROWS:, :] = jnp.where(
+                        lane < o, rot, 0.0)[0:1, :]
 
 
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     """Extract flagged slots' channel values into compact rows.
 
     channels: list of (..., total_slots reshapable) f32 arrays (same shape);
-    flags: bool array of that shape.  Returns (vals (C, max_out) in slot
-    order, count ()) — slots beyond ``max_out`` are dropped (caller counts).
+    flags: bool array of that shape.  Returns (vals (C, max_out), count ())
+    — slots beyond ``max_out`` are dropped (caller counts).  Output order
+    is the deterministic two-level tile order: tiles in slot order, and
+    within a tile (lane-rank, lane)-major (see STAGE_B) — downstream
+    consumers never rely on slot order.
     """
     n_ch = len(channels)
     flat_flags = flags.reshape(-1)
@@ -230,14 +275,27 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     assert total % TILE == 0, total
     nt = total // TILE
     rows_total = total // LANES
-    counts = jnp.sum(flat_flags.reshape(nt, TILE), axis=1, dtype=jnp.int32)
+    lane_cnt = jnp.sum(flat_flags.reshape(nt, OUT_ROWS, LANES), axis=1,
+                       dtype=jnp.int32)                  # (nt, LANES)
+    counts = jnp.sum(lane_cnt, axis=1)
     m_total = jnp.sum(counts)
 
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if not use_kernel:
-        # host path: stable argsort over the flag keys compacts in slot order
-        order = jnp.argsort(~flat_flags, stable=True)[:max_out]
+        # host path: argsort over the kernel's two-level order — per tile,
+        # flagged slots come out (lane-rank, lane)-major, NOT slot order
+        # (no caller relies on slot order: movers are re-sorted by cell,
+        # conversions align by id)
+        f3 = flat_flags.reshape(nt, OUT_ROWS, LANES).astype(jnp.int32)
+        lane_rank = jnp.cumsum(f3, axis=1) - f3
+        tidx = jnp.arange(nt, dtype=jnp.int32)[:, None, None]
+        lidx = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]
+        key = jnp.where(f3 == 1,
+                        tidx * TILE + lane_rank * LANES + lidx,
+                        nt * TILE + jnp.arange(total, dtype=jnp.int32)
+                        .reshape(nt, OUT_ROWS, LANES)).reshape(-1)
+        order = jnp.argsort(key)[:max_out]
         got = jnp.arange(max_out) < m_total
         vals = jnp.stack(
             [jnp.where(got, c.reshape(-1)[order], 0.0) for c in channels])
@@ -250,6 +308,11 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     # otherwise DMA hundreds of empty strips per output block)
     order = jnp.argsort(~nonempty, stable=True)
     tile_ids = order.astype(jnp.int32)
+    # hot tile = some lane holds > STAGE_B flags: the kernel's cheap
+    # two-level path would overflow its STAGE_B-row space, so it falls
+    # back to the full 64-row flat network there (same output order)
+    hot = (jnp.max(lane_cnt, axis=1) > STAGE_B).astype(jnp.int32)
+    hot_c = hot[order]
     counts_c = jnp.where(jnp.arange(nt) < n_live, counts[order], 0)
     starts_c = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
@@ -260,7 +323,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     flat_fl = flat_flags.reshape(rows_total, LANES).astype(jnp.float32)
     nb = -(-nt // COMPACT_BATCH)
 
-    def omap(b, tids_ref, starts_ref, nlive_ref):
+    def omap(b, tids_ref, starts_ref, hot_ref, nlive_ref):
         # all-empty batches (the compacted tail) share ONE dummy out
         # block: Pallas copies every visited out block back to HBM
         # whether written or not, and at 2.3% mover density many tile
@@ -269,7 +332,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
         return (jnp.where(b < live_b, b, nb), 0, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_ch + 1),
         out_specs=pl.BlockSpec(
@@ -288,7 +351,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
         out_shape=jax.ShapeDtypeStruct(
             (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_ids, starts_c, n_live.reshape(1), *flat_ch, flat_fl)
+    )(tile_ids, starts_c, hot_c, n_live.reshape(1), *flat_ch, flat_fl)
     # flatten batches back to per-tile strips; the dummy batch rides along
     # at the tail — stitch spans [tfirst, tlast] from starts_c, all < nt,
     # so it never reads it (slicing it off would materialize a copy)
@@ -316,7 +379,7 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
                    x_origin=None, live=None):
     """Route the compacted movers into ARRIVAL_K-rank arrival planes.
 
-    movers: (7, M) slot-ordered mover rows (x,y,z,vx,vy,vz,id); m: live count
+    movers: (7, M) compacted mover rows (x,y,z,vx,vy,vz,id); m: live count
     (or an explicit (M,) ``live`` mask — the sharded path merges ICI-received
     movers into the tail, so liveness is not a prefix there).
     Returns (flat-tile stack (7, nt_a+1, 64, 128) in place's skip-empty
@@ -601,7 +664,8 @@ def to_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
 
 
 def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
-    """Planes -> flat channel rows (x,y,z,vx,vy,vz,id[,rho]) in slot order.
+    """Planes -> flat channel rows (x,y,z,vx,vy,vz,id[,rho]), two-level
+    tile order (compact_flagged); callers align by id.
 
     rho is recomputed with one density sweep when diagnostics are on (it is
     not carried across steps).  ``n`` bounds the output capacity (valid

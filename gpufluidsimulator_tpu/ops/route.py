@@ -345,6 +345,50 @@ def compact_tile(fields, flag, rows: int, offset=0):
     return fields, flagf
 
 
+def compact_lanes(fields, flag, rows: int):
+    """Compact each LANE's flagged elements toward row 0 (sublane axis).
+
+    Level 1 of the two-level stage compaction: 128 independent per-lane
+    butterflies run in lockstep as whole-tile ops with sublane-axis rolls
+    only — log2(rows) stages instead of the flat space's log2(rows*128),
+    after which every flagged element sits in rows [0, lane_count) of its
+    own lane and the flat compaction (compact_tile) only has to touch the
+    top ``B = max lane_count`` rows.  Per-lane shifts are monotone
+    non-decreasing down a lane (shift_j - shift_i = (r_j - r_i) -
+    (#flagged in (i, j]) >= 0), so the LSB-first inverse network is
+    conflict-free exactly as in route_bwd.
+
+    Returns (routed fields, routed flag, inclusive per-lane flag counts as
+    the (1, 128) bottom prefix row — computed pre-route, so it is the
+    per-lane total).
+    """
+    assert rows & (rows - 1) == 0, rows
+    n_bits = rows.bit_length() - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    flagi = flag.astype(jnp.int32)
+    s = flagi
+    d = 1
+    while d < rows:                        # per-lane inclusive prefix sum
+        s = s + jnp.where(row >= d, pltpu.roll(s, d, axis=0), 0)
+        d *= 2
+    counts = s[rows - 1:rows, :]
+    shift = jnp.where(flagi == 1, row - (s - flagi), 0)
+    flagf = flagi.astype(jnp.float32)
+    for b in range(n_bits):
+        d = 1 << b
+        move = (flagf > 0.5) & (((shift >> b) & 1) == 1)
+        movef = move.astype(jnp.float32)
+        back = rows - d
+        arrive = ((pltpu.roll(movef, back, axis=0) > 0.5)
+                  & (row < rows - d))
+        fields = [jnp.where(arrive, pltpu.roll(x, back, axis=0),
+                            jnp.where(move, 0.0, x)) for x in fields]
+        shift = jnp.where(arrive, pltpu.roll(shift, back, axis=0),
+                          jnp.where(move, 0, shift))
+        flagf = jnp.where(arrive, 1.0, jnp.where(move, 0.0, flagf))
+    return fields, flagf, counts
+
+
 def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,
                     *, n_ch: int):
     """Un-place one routing tile: values at slots -> the tile's slot-sorted

@@ -62,6 +62,35 @@ def test_compact_flagged_matches_host_path():
                                   np.asarray(v_kern)[:, :m])
 
 
+def test_compact_flagged_hot_lane_fallback():
+    """A lane holding > STAGE_B flags forces the kernel's full-64-row
+    fallback path; host/kernel parity must hold through it (the output
+    order is the same (lane-rank, lane) order on both branches)."""
+    params, state = _scene(n=500)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    rng = np.random.default_rng(2)
+    fl = valid & (rng.random(valid.shape) < 0.1)
+    # stack one flat column (a fixed lane of a fixed routing tile) full of
+    # flags: flatten, pick lane 7 of tile 0's 64 rows
+    flat = fl.reshape(-1)
+    hot_idx = np.arange(inc.STAGE_B + 4) * pm.LANES + 7
+    flat[hot_idx] = True
+    flags = jnp.asarray(flat.reshape(fl.shape))
+    channels = [s.fields6[i] for i in range(6)] + [s.idp]
+    cap = inc._round_tile(state.n)
+    v_host, m_host = inc.compact_flagged(channels, flags, cap,
+                                         use_kernel=False)
+    v_kern, m_kern = inc.compact_flagged(channels, flags, cap,
+                                         use_kernel=True)
+    assert int(m_host) == int(m_kern) == int(np.sum(np.asarray(flags)))
+    m = int(m_host)
+    np.testing.assert_array_equal(np.asarray(v_host)[:, :m],
+                                  np.asarray(v_kern)[:, :m])
+
+
 def test_incremental_rebin_matches_full_rebuild():
     """Perturb positions, rebin incrementally, compare per-cell id sets with
     a from-scratch build_planes of the same positions."""

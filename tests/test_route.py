@@ -75,6 +75,54 @@ def test_place_fills_every_particle_once():
     assert ((interior < pm.SENTINEL * 0.5) == filled[..., 1:-1]).all()
 
 
+def _compact_lanes_interp(vals, flag, rows):
+    """compact_lanes uses pltpu.roll, which only evaluates inside a kernel —
+    run it through a single-block interpret-mode pallas_call."""
+    from jax.experimental import pallas as pl
+
+    def kern(f0, f1, f2, fl, o0, o1, o2, ofl, cnt):
+        out, oflag, counts = route.compact_lanes(
+            [f0[...], f1[...], f2[...]], fl[...], rows)
+        o0[...], o1[...], o2[...] = out
+        ofl[...] = oflag
+        cnt[...] = counts
+
+    shp = jax.ShapeDtypeStruct((rows, pm.LANES), jnp.float32)
+    res = pl.pallas_call(
+        kern,
+        out_shape=(shp, shp, shp, shp,
+                   jax.ShapeDtypeStruct((1, pm.LANES), jnp.int32)),
+        interpret=True,
+    )(*vals, flag)
+    return res[:3], res[3], res[4]
+
+
+def test_compact_lanes_properties():
+    """Level 1 of the two-level stage compaction: every lane's flagged
+    elements end up contiguous from row 0, in their original row order,
+    with values carried; unflagged destinations are zeroed."""
+    rng = np.random.default_rng(5)
+    rows = route.OUT_ROWS
+    for density in (0.02, 0.3, 0.9):
+        flag = (rng.random((rows, pm.LANES)) < density)
+        vals = [jnp.asarray(rng.normal(size=(rows, pm.LANES)),
+                            jnp.float32) for _ in range(3)]
+        out, oflag, counts = _compact_lanes_interp(
+            vals, jnp.asarray(flag, jnp.float32), rows)
+        of = np.asarray(oflag) > 0.5
+        cnt = flag.sum(axis=0)
+        np.testing.assert_array_equal(np.asarray(counts)[0], cnt)
+        # flagged elements form a per-lane prefix
+        expect = np.arange(rows)[:, None] < cnt[None, :]
+        np.testing.assert_array_equal(of, expect)
+        for v_in, v_out in zip(vals, out):
+            a_in = np.asarray(v_in)
+            a_out = np.asarray(v_out)
+            for lane in range(0, pm.LANES, 17):
+                np.testing.assert_array_equal(
+                    a_out[:cnt[lane], lane], a_in[flag[:, lane], lane])
+
+
 def test_monotone_shift_invariant():
     """Within each routing tile, placement shifts must be achievable, i.e.
     targets strictly increase along the slot-sorted particle order."""
