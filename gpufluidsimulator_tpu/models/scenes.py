@@ -51,10 +51,15 @@ def _derive(n_request: int, fluid_vol: float, dim: int, height: float,
     stiffness = c_s * c_s            # linear EOS: p = k (rho - rho0), k ~ c^2/?
     dt = _CFL * h / c_s
     grav = tuple(-9.81 if d == 1 else 0.0 for d in range(dim))
-    return SimParams(dim=dim, h=h, rest_density=rho0, stiffness=stiffness,
-                     viscosity=0.25, particle_mass=mass, dt=dt, gravity=grav,
-                     bounds_min=bounds[0], bounds_max=bounds[1],
-                     obstacles=tuple(obstacles))
+    params = SimParams(dim=dim, h=h, rest_density=rho0, stiffness=stiffness,
+                       viscosity=0.25, particle_mass=mass, dt=dt, gravity=grav,
+                       bounds_min=bounds[0], bounds_max=bounds[1],
+                       obstacles=tuple(obstacles))
+    # binning-only layout fix: fold grids that land just past an x-tile /
+    # y-routing-tile boundary back under it (see planes.snap_cell)
+    from ..ops.planes import snap_cell
+
+    return snap_cell(params)
 
 
 def dam_break(n: int = 4096, dim: int = 2,

@@ -234,12 +234,12 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                   -1: [pltpu.roll(t, LANES - 1, axis=1) for t in q0],
                   1: [pltpu.roll(t, 1, axis=1) for t in q0]}
             z = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
-            acc = {dx: (z, z, z) for dx in (-1, 0, 1)}
+            acc = {dx: (z, z, z, z) for dx in (-1, 0, 1)}
 
-            def pair(qf, cand, a3):
+            def pair(qf, cand, a4):
                 qx, qy, qz_, qvx, qvy, qvz, qp, qir = qf
                 cx, cy, cz, cvx, cvy, cvz, cp, cir = cand
-                ax, ay, az = a3
+                ax, ay, az, sv = a4
                 ddx = qx - cx
                 ddy = qy - cy
                 r2 = ddx * ddx + ddy * ddy
@@ -249,18 +249,25 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-16))
                 r = r2 * inv_r
                 hr = jnp.maximum(h - r, 0.0)
-                hr = jnp.where(r2 > 1e-14, hr, 0.0)   # drop self/degenerate
+                # no explicit self/degenerate guard: for the self pair every
+                # coordinate/velocity difference is exactly 0, so both force
+                # terms vanish by multiplication, and the r2 clamp above
+                # keeps coef_p finite (eps-regularized for coincident pairs)
                 # pressure: -m (pa+pb) g(r)/r * d  (constants pre-folded
                 # into the pr2 plane)
                 coef_p = (qp + cp) * (hr * hr * inv_r)
                 # viscosity: mu m (vb-va) ira irb lap(r)  (constants folded
-                # into the irho plane as sqrt factors)
+                # into the irho plane as sqrt factors).  The -va term factors
+                # out of the pair loop: accumulate sum(coef_v) in sv and
+                # subtract qv*sv once per rank in the finalize step below
+                # (saves dim subs per pair tile)
                 coef_v = hr * (qir * cir)
-                ax = ax + coef_p * ddx + coef_v * (cvx - qvx)
-                ay = ay + coef_p * ddy + coef_v * (cvy - qvy)
+                sv = sv + coef_v
+                ax = ax + coef_p * ddx + coef_v * cvx
+                ay = ay + coef_p * ddy + coef_v * cvy
                 if params.dim == 3:
-                    az = az + coef_p * ddz + coef_v * (cvz - qvz)
-                return ax, ay, az
+                    az = az + coef_p * ddz + coef_v * cvz
+                return ax, ay, az, sv
 
             for zi, dz in enumerate(dzs):
                 occ_c = occ_s_ref[bidx * 3 + dz]
@@ -279,13 +286,20 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 accs = jax.lax.fori_loop(0, occ_c, c_loop, accs)
                 acc = {-1: accs[0], 0: accs[1], 1: accs[2]}
 
-            # roll per-dx accumulators back into the query frame:
-            # s computed at lane l belongs to query lane l - dx
-            out = list(acc[0])
+            # finalize each dx-accumulator in its own (rolled-query) frame —
+            # the factored viscosity -qv*sum(coef_v) term — then roll back
+            # into the query frame: s computed at lane l belongs to query
+            # lane l - dx.  (2D: the vz channel is all-zero, planes.py)
+            def fin(dx):
+                s = acc[dx]
+                return [s[c] - qv[dx][3 + c] * s[3] for c in range(3)]
+
+            out = fin(0)
             for dx in (-1, 1):
+                fdx = fin(dx)
                 shift = (-dx) % LANES
                 for c in range(3):
-                    out[c] = out[c] + pltpu.roll(acc[dx][c], shift, axis=1)
+                    out[c] = out[c] + pltpu.roll(fdx[c], shift, axis=1)
             if not fuse_integrate:
                 acc_ref[0, k1, 0, 0, :, :] = out[0]
                 acc_ref[1, k1, 0, 0, :, :] = out[1]

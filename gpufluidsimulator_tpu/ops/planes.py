@@ -27,6 +27,7 @@ while gathers are ~40x cheaper, so everything else is formulated as gathers.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -67,6 +68,48 @@ def geometry(params: SimParams) -> PlaneGeom:
     return PlaneGeom(dim=params.dim, k=params.cell_capacity,
                      nx=nx, ny=ny, nz=nz, n_bx=n_bx, py=py, pz=pz,
                      n_by=n_by, cells=pz * n_bx * py * LANES)
+
+
+def snap_cell(params: SimParams, max_stretch: float = 1.06,
+              min_gain: float = 0.85) -> SimParams:
+    """Pick a binning cell (>= h) that avoids pathological slot-space padding.
+
+    The plane layout quantizes hard: x in 126-lane tiles, y in 64-row routing
+    tiles, z per plane.  A grid whose x-extent lands *just* past a tile
+    boundary allocates a whole extra x tile that is ~95% padding (measured:
+    grid 132^3 at N=2.14M costs 2.27x the slot space and 2.7x the step time
+    of the 1.47M grid below the boundary).  Since the binning cell only has
+    to satisfy ``cell >= h`` for the 3^d stencil to cover the interaction
+    radius, stretching it slightly can fold the grid back under the boundary.
+
+    Tries every integer cells-per-axis target within ``max_stretch`` of the
+    h-derived resolution and keeps the smallest stretch that shrinks the
+    allocated slot space to <= ``min_gain`` of the unsnapped layout (the
+    threshold avoids trading sweep-occupancy growth for marginal savings).
+    No-op when ``cell_size`` was set explicitly.
+    """
+    if params.cell_size > 0.0:
+        return params
+    base = params.h
+    base_cells = geometry(params).cells
+    cands = set()
+    for d in range(params.dim):
+        extent = params.bounds_max[d] - params.bounds_min[d]
+        n = max(1, int(math.ceil(extent / base - 1e-9)))
+        n_lo = max(1, int(math.floor(n / max_stretch)))
+        for n2 in range(n_lo, n):
+            c = extent / n2
+            if base < c <= base * max_stretch:
+                cands.add(c)
+    best = None
+    for c in sorted(cands):
+        cells = geometry(params.replace(cell_size=c)).cells
+        if cells <= min_gain * base_cells and (
+                best is None or cells < best[1]):
+            best = (c, cells)
+    if best is None:
+        return params
+    return params.replace(cell_size=best[0])
 
 
 def cell_linear_parts(pos, params: SimParams, geom: PlaneGeom,

@@ -30,6 +30,13 @@ def main():
 
     params, state = scenes.double_dam_break(n=n, dim=dim)
     params = params.replace(diagnostics=False)
+    # FS_CELL=0 -> disable the scene's snapped cell; FS_CELL=<f> -> stretch
+    # the binning cell to f*h (A/B of planes.snap_cell choices)
+    if "FS_CELL" in os.environ:
+        f = float(os.environ["FS_CELL"])
+        params = params.replace(cell_size=f * params.h if f > 0 else 0.0)
+    print(f"grid_res={params.grid_res} cell/h={params.cell/params.h:.4f}",
+          flush=True)
     state = solver.run(state, params, warm, method="pallas")
     jax.block_until_ready(state.pos)
     if method == "pallas_inc":
