@@ -24,7 +24,6 @@ domain units; the |a|^2-2ab expansion would lose ~3 digits near r->0).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Sequence
 
 import jax
@@ -247,10 +246,7 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 if params.dim == 3:
                     ddz = qz_ - cz
                     r2 = r2 + ddz * ddz
-                if os.environ.get("FS_RSQRT_AB"):
-                    inv_r = jnp.maximum(r2, 1e-16)  # timing A/B only
-                else:
-                    inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-16))
+                inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-16))
                 r = r2 * inv_r
                 hr = jnp.maximum(h - r, 0.0)
                 # no explicit self/degenerate guard: for the self pair every
