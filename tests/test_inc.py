@@ -13,6 +13,10 @@ from gpufluidsimulator_tpu.models import solver
 from gpufluidsimulator_tpu.ops import inc, physics
 from gpufluidsimulator_tpu.ops import planes as pm
 
+pytestmark = pytest.mark.heavy   # interpret-mode Pallas tier (>5 min on the
+# 1-core host); the driver's dryrun_multichip exercises the inc pipeline
+# every round, and `pytest -m heavy` runs the full set
+
 
 def _scene(n=700, dim=2, seed=3, jitter=0.3):
     return scenes.dam_break(n=n, dim=dim, jitter=jitter, seed=seed)
@@ -281,6 +285,31 @@ def test_run_inc_via_facade():
     p = sim.get_positions()
     assert np.isfinite(p).all()
     assert int(sim.state.overflow) == 0
+
+
+def test_rollout_inc_records_frames_in_scan():
+    """rollout(method='pallas_inc') records frames inside the resident scan
+    (inc.rollout_inc): the final state matches run_inc and the last frame
+    is the final position set (aligned by the recorded id channel)."""
+    params, state = _scene(n=700, dim=2)
+    params = params.replace(diagnostics=False)
+    final, traj = solver.rollout(state, params, 12, method="pallas_inc",
+                                 record_every=4)
+    assert traj.shape == (3, state.n, 2)
+    ref = inc.run_inc(state, params, 12)
+    fi = np.argsort(np.asarray(final.ids))
+    ri = np.argsort(np.asarray(ref.ids))
+    np.testing.assert_allclose(np.asarray(final.pos)[fi],
+                               np.asarray(ref.pos)[ri], rtol=0, atol=1e-6)
+    # last frame = the same particle set as the final state (set-valued)
+    lf = np.sort(np.asarray(traj[-1]), axis=0)
+    fp = np.sort(np.asarray(final.pos), axis=0)
+    np.testing.assert_allclose(lf, fp, rtol=0, atol=1e-6)
+    # intermediate frame matches a shorter run of the same pipeline
+    mid = inc.run_inc(state, params, 8)
+    mf = np.sort(np.asarray(traj[1]), axis=0)
+    mp = np.sort(np.asarray(mid.pos), axis=0)
+    np.testing.assert_allclose(mf, mp, rtol=0, atol=1e-6)
 
 
 def test_run_inc_chunked_matches_single_program():

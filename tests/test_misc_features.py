@@ -24,6 +24,7 @@ def test_tait_eos_matches_oracle():
         np.abs(pres).max(), 1.0)
 
 
+@pytest.mark.heavy
 def test_tait_pallas_matches_naive():
     params, state = scenes.dam_break(n=500, dim=2, jitter=0.2, seed=5)
     params = params.replace(eos="tait")
@@ -57,6 +58,7 @@ def test_cost_analysis_has_flops():
     assert costs, "cost analysis empty"
 
 
+@pytest.mark.heavy
 def test_cli_sharded_run(capsys):
     from gpufluidsimulator_tpu.utils.cli import main
     rc = main(["run", "-n", "400", "--dim", "2", "--steps", "10",

@@ -10,6 +10,10 @@ from gpufluidsimulator_tpu import scenes, run, SimParams
 from gpufluidsimulator_tpu.models import solver
 from gpufluidsimulator_tpu.ops import planes as pm
 
+pytestmark = pytest.mark.heavy   # interpret-mode Pallas tier (>5 min on the
+# 1-core host); run with `pytest -m heavy`.  The driver compile-checks the
+# Pallas step every round (entry()) and the tpu-marked tests cover the chip.
+
 
 def _aligned(state):
     order = np.argsort(np.asarray(state.ids))
