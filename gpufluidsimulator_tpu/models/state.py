@@ -21,10 +21,13 @@ class State(NamedTuple):
     # Particle identity.  The pallas path keeps particles cell-sorted (the
     # reference's reorder trick, adopted as the canonical order to avoid
     # scatter-backs); `ids` tracks each row back to its spawn index.
-    ids: jnp.ndarray = jnp.zeros((0,), jnp.int32)
+    ids: jnp.ndarray
     # cell-capacity overflow count from the last gridded step (SURVEY.md §4.2:
     # "fixed-capacity overflow counter is observable"); 0 for the naive path.
-    overflow: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # (No jnp defaults here: NamedTuple defaults evaluate at import time and
+    # would initialize the XLA backend before jax.distributed.initialize —
+    # see parallel.mesh.init_distributed / tests/test_multihost.py.)
+    overflow: jnp.ndarray
 
     @property
     def n(self) -> int:
@@ -45,4 +48,5 @@ def make_state(pos, vel=None) -> State:
     return State(pos=pos, vel=vel,
                  rho=jnp.zeros((n,), jnp.float32),
                  pres=jnp.zeros((n,), jnp.float32),
-                 ids=jnp.arange(n, dtype=jnp.int32))
+                 ids=jnp.arange(n, dtype=jnp.int32),
+                 overflow=jnp.zeros((), jnp.int32))

@@ -14,12 +14,48 @@ jax.distributed + the same Mesh API (DCN between hosts, ICI within).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "x"
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host (DCN) entry point: initialize the JAX distributed runtime.
+
+    Call ONCE per process, before any other jax API, when the mesh spans
+    hosts (SURVEY.md §5.8: cross-host transport is DCN via
+    ``jax.distributed``; within a host/pod slice XLA rides ICI with no
+    extra setup).  Arguments default to the environment:
+
+      FLUID_COORDINATOR   host:port of process 0's coordinator service
+      FLUID_NUM_PROCESSES total process count
+      FLUID_PROCESS_ID    this process's rank
+
+    Returns True when the distributed runtime was initialized (multi-process
+    run), False for the single-process no-op — so callers can do
+    ``init_distributed(); mesh = make_mesh()`` unconditionally:
+    ``jax.devices()`` then enumerates the GLOBAL device set and the same
+    shard_map programs run unchanged (tested with two local CPU processes,
+    tests/test_multihost.py).
+    """
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("FLUID_COORDINATOR")
+    if num_processes is None:
+        num_processes = int(os.environ.get("FLUID_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("FLUID_PROCESS_ID", "0"))
+    if num_processes <= 1 or coordinator_address is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -309,11 +309,9 @@ def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
 # host-side distribute / gather
 # ---------------------------------------------------------------------------
 
-def distribute(params: SimParams, state: State, mesh: Mesh,
-               n_cap: Optional[int] = None,
-               m_cap: Optional[int] = None) -> Tuple[ShardedState, int]:
-    """Split a global State into per-device fixed-capacity slabs."""
-    n_dev = mesh.devices.size
+def _slab_arrays(params: SimParams, state: State, n_dev: int,
+                 n_cap: Optional[int] = None, m_cap: Optional[int] = None):
+    """Host-side slab packing shared by distribute / distribute_global."""
     _, nx_local = local_params(params, n_dev)
     width = nx_local * params.cell
 
@@ -342,15 +340,45 @@ def distribute(params: SimParams, state: State, mesh: Mesh,
         spos[dd, :c] = pos[sel]
         svel[dd, :c] = vel[sel]
         sids[dd, :c] = ids[sel]
+    z = np.zeros((n_dev, n_cap), np.float32)
+    zi = np.zeros((n_dev,), np.int32)
+    arrays = dict(pos=spos, vel=svel, rho=z, pres=z.copy(), ids=sids,
+                  overflow=zi, mig_overflow=zi.copy())
+    return arrays, m_cap
 
+
+def distribute(params: SimParams, state: State, mesh: Mesh,
+               n_cap: Optional[int] = None,
+               m_cap: Optional[int] = None) -> Tuple[ShardedState, int]:
+    """Split a global State into per-device fixed-capacity slabs."""
+    arrays, m_cap = _slab_arrays(params, state, mesh.devices.size,
+                                 n_cap, m_cap)
     from .mesh import shard_leading
     sh = shard_leading(mesh)
     put = lambda a: jax.device_put(jnp.asarray(a), sh)
-    z = np.zeros((n_dev, n_cap), np.float32)
-    zi = np.zeros((n_dev,), np.int32)
-    return ShardedState(pos=put(spos), vel=put(svel), rho=put(z),
-                        pres=put(z.copy()), ids=put(sids),
-                        overflow=put(zi), mig_overflow=put(zi.copy())), m_cap
+    return ShardedState(**{k: put(v) for k, v in arrays.items()}), m_cap
+
+
+def distribute_global(params: SimParams, state: State, mesh: Mesh,
+                      n_cap: Optional[int] = None,
+                      m_cap: Optional[int] = None
+                      ) -> Tuple[ShardedState, int]:
+    """Multi-process (multi-host) distribute over a GLOBAL device mesh.
+
+    Every process computes the same deterministic slab arrays from the
+    replicated host State and materializes only its addressable shards
+    (jax.make_array_from_callback) — the DCN path of SURVEY.md §5.8; see
+    parallel.mesh.init_distributed and tests/test_multihost.py."""
+    arrays, m_cap = _slab_arrays(params, state, mesh.devices.size,
+                                 n_cap, m_cap)
+    from .mesh import shard_leading
+    sh = shard_leading(mesh)
+
+    def put(a):
+        return jax.make_array_from_callback(
+            a.shape, sh, lambda idx, a=a: a[idx])
+
+    return ShardedState(**{k: put(v) for k, v in arrays.items()}), m_cap
 
 
 def gather(sstate: ShardedState, n_total: int) -> State:
