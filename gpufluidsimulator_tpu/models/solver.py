@@ -134,8 +134,18 @@ def rollout(state: State, params: SimParams, n_steps: int,
     row i of different frames may be different particles; snapshots are
     set-valued (fine for rasterization/statistics).  For per-particle
     trajectories run stepwise and re-align by ``State.ids``.
+
+    'pallas_inc' (or 'auto' at scale) records frames INSIDE the
+    planes-resident scan (inc.rollout_inc) — one flat<->planes conversion
+    per rollout, not per step.
     """
+    auto = method == "auto"
     method = resolve_method(method, state.n)
+    if auto and method == "pallas" and n_steps >= 16 and state.n > 32768:
+        method = "pallas_inc"
+    if method == "pallas_inc":
+        from ..ops import inc
+        return inc.rollout_inc(state, params, n_steps, record_every)
     return _rollout_scan(state, params, n_steps, method, record_every)
 
 

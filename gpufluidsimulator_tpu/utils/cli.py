@@ -84,6 +84,24 @@ def cmd_run(args) -> int:
     else:
         params, state = _build_scene(args)
         start = 0
+    if args.movie:
+        # movie export: frames recorded INSIDE the scan (one device
+        # program per chunk; on the pallas_inc path the planes stay
+        # resident for the whole rollout — ops/inc.rollout_inc)
+        from ..models import solver
+        final, traj = solver.rollout(state, params, args.steps,
+                                     method=args.method,
+                                     record_every=args.movie_every)
+        np.savez_compressed(args.movie, frames=np.asarray(traj),
+                            every=np.asarray(args.movie_every))
+        mets = metrics.RunMetrics(params, state.n, args.method)
+        s = mets.record(start + args.steps, final, params)
+        print(f"movie: {traj.shape[0]} frames -> {args.movie} "
+              f"(every {args.movie_every} steps)")
+        final_inv = metrics.invariants(final, params)
+        print(json.dumps({k: v for k, v in final_inv.items()
+                          if k != "momentum"}))
+        return 1 if final_inv["nan"] else 0
     if args.sharded:
         import jax
         from ..parallel.sharded import ShardedSim
@@ -222,6 +240,11 @@ def main(argv=None) -> int:
     p.add_argument("--resume", default=None, help="checkpoint to resume")
     p.add_argument("--metrics-json", default=None)
     p.add_argument("--metrics-csv", default=None)
+    p.add_argument("--movie", default=None,
+                   help="export an .npz of position frames recorded "
+                        "in-scan (frames, N, dim); see --movie-every")
+    p.add_argument("--movie-every", type=int, default=10,
+                   help="record a movie frame every N steps")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bench", help="benchmark one config")

@@ -45,3 +45,23 @@ def test_rotate_keeps_newest(tmp_path):
 
 def test_latest_empty(tmp_path):
     assert checkpoint.latest(str(tmp_path / "nope")) is None
+
+
+def test_planes_checkpoint_roundtrip(tmp_path):
+    """IncState snapshots round-trip bitwise (no planes->flat conversion);
+    determinism then guarantees identical continued trajectories."""
+    from gpufluidsimulator_tpu.ops import inc
+    from gpufluidsimulator_tpu.ops import planes as pm
+
+    params, state = scenes.dam_break(n=500, dim=2, jitter=0.2, seed=1)
+    params = params.replace(diagnostics=False)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    path = str(tmp_path / "planes.npz")
+    checkpoint.save_planes(path, s, params, step=7, n=state.n)
+    s2, p2, step, n = checkpoint.load_planes(path)
+    assert (step, n) == (7, state.n)
+    assert p2 == params
+    assert np.array_equal(np.asarray(s.fields6), np.asarray(s2.fields6))
+    assert np.array_equal(np.asarray(s.idp), np.asarray(s2.idp))
+    assert int(s.overflow) == int(s2.overflow)

@@ -35,6 +35,20 @@ def test_run_frames_and_checkpoints(tmp_path):
     assert any(f.endswith(".npz") for f in os.listdir(ckpts))
 
 
+def test_run_movie_export(tmp_path, capsys):
+    """--movie records in-scan frames to one .npz (frames, N, dim)."""
+    mv = str(tmp_path / "movie.npz")
+    rc = main(["run", "-n", "300", "--dim", "2", "--steps", "30",
+               "--method", "naive", "--movie", mv, "--movie-every", "10"])
+    assert rc == 0
+    assert "3 frames" in capsys.readouterr().out
+    with np.load(mv) as z:
+        assert z["frames"].shape[0] == 3
+        assert z["frames"].shape[2] == 2
+        assert int(z["every"]) == 10
+        assert np.isfinite(z["frames"]).all()
+
+
 def test_run_resume(tmp_path, capsys):
     ckpts = str(tmp_path / "ckpts")
     main(["run", "-n", "200", "--dim", "2", "--steps", "10",
