@@ -18,7 +18,7 @@ step at 1.47M) to replace the two full multi-operand sorts of
     planes and the extract/stitch pass disappears from the step.
 
 Layout invariants (ops/planes.py): x halo lanes and y/z ghost regions are
-refreshed or ignored每 step; empty slots hold SENTINEL positions.
+refreshed or ignored each step; empty slots hold SENTINEL positions.
 """
 
 from __future__ import annotations

@@ -9,8 +9,9 @@ rank-planar layout (ops/planes.py):
   * grid = (z-planes, y-blocks); each program owns an (8 y-rows x 128 x-cells)
     tile of cells and all K rank planes above it.
   * the 3^d-cell stencil is: z -> choice of slab ref, y -> static sublane
-    slice of a 10-row window, x -> lane roll.  Zero gathers, zero dynamic
-    shapes, every vector op runs on a full native (8, 128) tile.
+    slice of a 24-sublane row window, x -> lane roll of the query.  Zero
+    gathers, zero dynamic shapes, every vector op runs on a full native
+    (8, 128) tile.
   * per-block occupancy bounds (scalar-prefetched) bound the rank loops, so
     the fixed-capacity padding (K=8 vs ~2.2 mean occupancy) costs almost
     nothing: `fori_loop(0, occ)` instead of K iterations.
@@ -50,18 +51,33 @@ def _roll_x(tile, dx: int):
 
 
 def _build_windows(scr, refs, n_fields: int, dzs: Sequence[int]):
-    """Assemble (dz, F, K, 10, 128) row windows from the 3 y-block refs per dz.
+    """Assemble row windows from the 3 y-block refs per dz.
 
-    Window rows cover y0-1 .. y0+8 (the 8 query rows plus one halo row each
-    side); refs[dz][j] is the y-block (by + j - 1) as an (F, K, 1, 8, 128) ref.
+    The window occupies rows 7:17 of a 24-sublane scratch: row 7 = the last
+    row of the y-block below, rows 8:16 = the query block (a full
+    (8, 128)-tile-ALIGNED copy), row 16 = the first row of the block above.
+    Candidate reads slice rows (dy+7):(dy+15); query reads rows 8:16
+    (aligned).
+
+    NEGATIVE RESULT (kept as the 9-full-block fetch): pre-gathering the two
+    needed neighbor rows into a compact (n_by, 2, 128) edge array and
+    fetching (2, 128) edge blocks instead of full neighbor blocks cut the
+    per-program stencil fetch bytes 2.4x — and made BOTH sweeps SLOWER
+    (force 13.6 -> 14.5 ms, density 7.1 -> 7.6 @1.47M, plus 1.4+0.7 ms of
+    XLA edge builds).  The pipeline DMA that a no-compute probe measures at
+    4.8/2.7 ms per sweep overlaps the rank-loop compute almost entirely in
+    the real kernels; the redundant fetches are effectively free, and the
+    extra specs/builds are pure loss.  (Single-row BlockSpecs are illegal
+    in the sublane dim, so a direct 1-row fetch is not expressible.)
     """
     for i, dz in enumerate(dzs):
         r0, r1, r2 = refs[i]
-        scr[i, 0:n_fields, :, 0:1, :] = r0[:, :, 0, 0,
-                                           ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK,
-                                           :]
-        scr[i, 0:n_fields, :, 1:9, :] = r1[:, :, 0, 0, :, :]
-        scr[i, 0:n_fields, :, 9:10, :] = r2[:, :, 0, 0, 0:1, :]
+        scr[i, 0:n_fields, :, ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :] = \
+            r0[:, :, 0, 0, ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :]
+        scr[i, 0:n_fields, :, ROWS_PER_BLOCK:2 * ROWS_PER_BLOCK, :] = \
+            r1[:, :, 0, 0, :, :]
+        scr[i, 0:n_fields, :, 2 * ROWS_PER_BLOCK:2 * ROWS_PER_BLOCK + 1, :] \
+            = r2[:, :, 0, 0, 0:1, :]
 
 
 def _stencil(dim: int):
@@ -77,7 +93,7 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                     geom: PlaneGeom):
     dzs, dys, dxs = _stencil(params.dim)
     n_in = 3 * len(dzs)
-    refs, (rho_ref, win, winr) = args[:n_in], args[n_in:]
+    refs, (rho_ref, win) = args[:n_in], args[n_in:]
     refs = [refs[3 * i:3 * i + 3] for i in range(len(dzs))]
 
     if params.dim == 3:
@@ -94,37 +110,56 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     @pl.when(occ_q > 0)
     def _():
         _build_windows(win, refs, pm.N_POS_FIELDS, dzs)
-        # pre-roll whole windows once per block (amortizes the x-stencil
-        # lane rolls over all rank pairs): winr[zi, xi] = win[zi] shifted by
-        # dx = xi - 1
-        for zi in range(len(dzs)):
-            winr[zi, 0] = pltpu.roll(win[zi], 1, axis=3)        # dx = -1
-            winr[zi, 1] = win[zi]
-            winr[zi, 2] = pltpu.roll(win[zi], LANES - 1, axis=3)   # dx = +1
+        ctr = len(dzs) // 2
 
         def q_loop(k1, _):
-            qx = win[len(dzs) // 2, 0, k1, 1:9, :]
-            qy = win[len(dzs) // 2, 1, k1, 1:9, :]
-            qz = win[len(dzs) // 2, 2, k1, 1:9, :]
-            acc = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
+            # Roll the QUERY by +dx and accumulate each x-offset's pairs in
+            # the candidate frame (the force kernel's scheme): 6 lane-rolls
+            # per rank + 2 roll-backs, vs the 9 full pre-rolled window
+            # variants this replaced — an A/B decomposition (scripts/
+            # ab_align.py) measured that per-block fixed cost (window build
+            # + pre-rolls, no pair loop) at 2.7 ms of the 7.1 ms sweep
+            # @1.47M.  Bonus: candidate reads drop 27 -> 9 per trip (shared
+            # across the 3 dx evals) and the accumulator chain splits 3 ways.
+            q0 = [win[ctr, j, k1, 8:16, :] for j in range(pm.N_POS_FIELDS)]
+            qv = {0: q0,
+                  -1: [pltpu.roll(t, LANES - 1, axis=1) for t in q0],
+                  1: [pltpu.roll(t, 1, axis=1) for t in q0]}
+            z = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
+
+            def pair(qf, cand, a):
+                ddx = qf[0] - cand[0]
+                ddy = qf[1] - cand[1]
+                r2 = ddx * ddx + ddy * ddy
+                if params.dim == 3:
+                    ddz = qf[2] - cand[2]
+                    r2 = r2 + ddz * ddz
+                d = jnp.maximum(h2 - r2, 0.0)
+                return a + d * d * d
+
+            acc = {dx: z for dx in (-1, 0, 1)}
             for zi, dz in enumerate(dzs):
                 occ_c = occ_s_ref[bidx * 3 + dz]
 
-                def c_loop(k2, acc):
+                def c_loop(k2, accs):
+                    am, a0, ap = accs
                     for dy in (0, 1, 2):
-                        for xi in (0, 1, 2):
-                            ddx = qx - winr[zi, xi, 0, k2, dy:dy + 8, :]
-                            ddy = qy - winr[zi, xi, 1, k2, dy:dy + 8, :]
-                            r2 = ddx * ddx + ddy * ddy
-                            if params.dim == 3:
-                                ddz = qz - winr[zi, xi, 2, k2, dy:dy + 8, :]
-                                r2 = r2 + ddz * ddz
-                            d = jnp.maximum(h2 - r2, 0.0)
-                            acc = acc + d * d * d
-                    return acc
+                        cand = [win[zi, j, k2, dy + 7:dy + 15, :]
+                                for j in range(pm.N_POS_FIELDS)]
+                        am = pair(qv[-1], cand, am)
+                        a0 = pair(qv[0], cand, a0)
+                        ap = pair(qv[1], cand, ap)
+                    return am, a0, ap
 
-                acc = jax.lax.fori_loop(0, occ_c, c_loop, acc)
-            rho_ref[k1, 0, 0, :, :] = c_poly6 * acc
+                accs = jax.lax.fori_loop(0, occ_c, c_loop,
+                                         (acc[-1], acc[0], acc[1]))
+                acc = {-1: accs[0], 0: accs[1], 1: accs[2]}
+
+            # acc[dx] at lane l belongs to query lane l - dx; roll back
+            out = acc[0]
+            for dx in (-1, 1):
+                out = out + pltpu.roll(acc[dx], (-dx) % LANES, axis=1)
+            rho_ref[k1, 0, 0, :, :] = c_poly6 * out
             return 0
 
         jax.lax.fori_loop(0, occ_q, q_loop, 0)
@@ -204,12 +239,15 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     def _():
         _build_windows(win, refs, 6, dzs)
         # density windows from the separate 1-channel group -> channel 6
+        # (same single-row neighbor layout as _build_windows)
         for i in range(len(dzs)):
             r0, r1, r2 = rrefs[i]
-            win[i, 6, :, 0:1, :] = r0[:, 0, 0,
-                                      ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :]
-            win[i, 6, :, 1:9, :] = r1[:, 0, 0, :, :]
-            win[i, 6, :, 9:10, :] = r2[:, 0, 0, 0:1, :]
+            win[i, 6, :, ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :] = \
+                r0[:, 0, 0, ROWS_PER_BLOCK - 1:ROWS_PER_BLOCK, :]
+            win[i, 6, :, ROWS_PER_BLOCK:2 * ROWS_PER_BLOCK, :] = \
+                r1[:, 0, 0, :, :]
+            win[i, 6, :, 2 * ROWS_PER_BLOCK:2 * ROWS_PER_BLOCK + 1, :] = \
+                r2[:, 0, 0, 0:1, :]
         # EOS fused at window-build time: channel 6 (rho) becomes the
         # pressure term m_spiky*p/rho^2, channel 7 the viscosity sqrt-factor
         # (one pass per window instead of two extra plane channels)
@@ -229,7 +267,7 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
             # candidate frame, rolling the per-dx accumulators back at the
             # end: 22 lane-rolls per rank instead of 8 fields x every
             # (dz,k2,dy,dx) candidate tile (~50x fewer rolls).
-            q0 = [win[ctr, j, k1, 1:9, :] for j in range(8)]
+            q0 = [win[ctr, j, k1, 8:16, :] for j in range(8)]
             qv = {0: q0,
                   -1: [pltpu.roll(t, LANES - 1, axis=1) for t in q0],
                   1: [pltpu.roll(t, 1, axis=1) for t in q0]}
@@ -275,7 +313,7 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 def c_loop(k2, accs):
                     am, a0, ap = accs
                     for dy in (0, 1, 2):
-                        cand = [win[zi, j, k2, dy:dy + 8, :]
+                        cand = [win[zi, j, k2, dy + 7:dy + 15, :]
                                 for j in range(8)]
                         am = pair(qv[-1], cand, am)
                         a0 = pair(qv[0], cand, a0)
@@ -393,6 +431,11 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
 def _grid_and_specs(geom: PlaneGeom, n_fields: int):
     """Build the (grid, in_specs) for the 3x3 y-block/z-plane stencil copies.
 
+    Per (dz): the center y-block arrives as a full (8, 128) block; the two
+    y-neighbors as SINGLE-ROW blocks (only the adjacent edge row is ever
+    read — see _build_windows; this cuts the pipeline's stencil fetch
+    redundancy from 9x to 3.75x, worth ~4.5 ms/step @1.47M).
+
     (An indirect 1D grid over an actives-first block list — skipping the
     empty tail's window copies via repeated-index elision — was measured
     ~2 ms SLOWER @1M: the sweeps are compute-bound, so the elided DMA was
@@ -448,10 +491,7 @@ def density_planes(pos_planes, occ_q, occ_s, params: SimParams,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_dz, pm.N_POS_FIELDS, geom.k,
-                        ROWS_PER_BLOCK + 2, LANES), jnp.float32),
-            # pre-rolled windows: [zi, xi] = window shifted by dx = xi - 1
-            pltpu.VMEM((n_dz, 3, pm.N_POS_FIELDS, geom.k,
-                        ROWS_PER_BLOCK + 2, LANES), jnp.float32),
+                        3 * ROWS_PER_BLOCK, LANES), jnp.float32),
         ],
     )
     kernel = functools.partial(_density_kernel, params=params, geom=geom)
@@ -541,7 +581,7 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
         in_specs=in_specs + rho_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM(
-            (n_dz, 8, geom.k, ROWS_PER_BLOCK + 2, LANES), jnp.float32)],
+            (n_dz, 8, geom.k, 3 * ROWS_PER_BLOCK, LANES), jnp.float32)],
     )
     kernel = functools.partial(_force_kernel, params=params, geom=geom,
                                fuse_integrate=fuse_integrate,

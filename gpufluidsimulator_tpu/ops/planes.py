@@ -151,6 +151,25 @@ def halo_x(arr):
     return arr
 
 
+def edge_rows(arr, geom: PlaneGeom):
+    """Compact per-block window-halo rows: (..., n_bx, py, 128) ->
+    (..., n_bx, n_by, 2, 128) where [..., by, 0, :] is the y row just below
+    interior block by (global row (by+1)*8 - 1) and [..., by, 1, :] the row
+    just above (row (by+2)*8).
+
+    UNUSED IN PRODUCTION — kept for scripts/ab_edge.py, which records the
+    negative result: feeding the sweep kernels (2, 128) edge blocks from
+    this pre-gather instead of full 8-row neighbor blocks cut the stencil
+    fetch bytes 2.4x and made both sweeps SLOWER (the redundant block DMA
+    overlaps the rank-loop compute; the extra specs + this build are pure
+    loss).  See ops/pallas_sph._build_windows for the full writeup.
+    """
+    nb = geom.n_by
+    lower = arr[..., ROWS_PER_BLOCK - 1::ROWS_PER_BLOCK, :][..., :nb, :]
+    upper = arr[..., ::ROWS_PER_BLOCK, :][..., 2:nb + 2, :]
+    return jnp.stack([lower, upper], axis=-2)
+
+
 class PlaneTable(NamedTuple):
     """Binned particle data in rank-planar layout + per-block metadata.
 
