@@ -47,8 +47,11 @@ def divergence_curve(p0, v0, params, n_steps, every, eps):
     vb = v0.copy()
     curve = []
     for s in range(0, n_steps, every):
-        pa, va, _, _ = native.run(pa, va, params, every, use_grid=False)
-        pb, vb, _, _ = native.run(pb, vb, params, every, use_grid=False)
+        # cell-list mode: same physics as the O(N^2) path (only the pair
+        # summation order differs — immaterial for a SELF-divergence
+        # experiment, where both trajectories use the identical engine)
+        pa, va, _, _ = native.run(pa, va, params, every, use_grid=True)
+        pb, vb, _, _ = native.run(pb, vb, params, every, use_grid=True)
         curve.append((s + every, rel_err(pb, pa)))
     return curve
 

@@ -47,12 +47,20 @@ def test_trajectory_matches_oracle_1000_steps():
     over 1000 steps vs the CPU float64 O(N^2) reference, full 4k scene,
     exercising the production pallas path.
 
-    Run at half the CFL dt: at full CFL the dam's wall impact (~step 700)
-    chaos-amplifies f32 rounding past any fp-implementation agreement
-    (measured Lyapunov ~x6/25 steps; 7.7e-3 at step 1000).  At dt/2 the
-    error is 4.9e-5 — 20x inside the acceptance band (see BASELINE.md).
-    Uses the native C++ oracle (csrc/fluidcore) when built: the NumPy
-    O(N^2) path needs >1h at 4k x 1000.
+    Run at half the CFL dt because at full CFL the acceptance bound is
+    FLOATING-POINT-THEORETICALLY unreachable, independent of
+    implementation: perturbing the float64 oracle's OWN initial positions
+    by one f32 ulp (1.2e-7) and re-running the identical float64 engine
+    crosses 1e-3 at step 550 and ends at 1.6e-2 by step 1000 (dam-impact
+    Lyapunov growth, lambda = 0.024/step, e-fold 42 steps — measured
+    curves: scripts/chaos_bound.py, committed docs/chaos_bound.json,
+    BASELINE.md 'Chaos bound').  Any f32 implementation differs from the
+    f64 oracle by >= 1 ulp somewhere, so NO f32 path (ours or the
+    reference CUDA one) can meet 1e-3@1000 in that regime.  At dt/2 the
+    same 1-ulp perturbation stays at 2.1e-4 and our f32 path measures
+    4.9e-5 — 20x inside the band.  Uses the native C++ oracle
+    (csrc/fluidcore) when built: the NumPy O(N^2) path needs >1h at
+    4k x 1000.
     """
     params, state = scenes.dam_break(n=4096, dim=2)
     params = params.replace(dt=params.dt * 0.5)
@@ -65,5 +73,9 @@ def test_trajectory_matches_oracle_1000_steps():
         p, v, _, _ = numpy_ref.run(p, v, params, 1000)
     st = run(state, params, 1000, method="pallas")
     order = np.argsort(np.asarray(st.ids))
-    assert _rel_err(np.asarray(st.pos)[order], p) < 1e-3
+    err = _rel_err(np.asarray(st.pos)[order], p)
+    assert err < 1e-3, (
+        f"rel_err {err:.2e} at dt/2 (full-CFL acceptance is fp-impossible:"
+        " a 1-ulp f64-oracle self-perturbation exceeds 1e-3 by step 550 —"
+        " docs/chaos_bound.json)")
     assert int(st.overflow) == 0
