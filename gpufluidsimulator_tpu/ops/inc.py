@@ -38,6 +38,8 @@ from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
 from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
 
 COMPACT_BATCH = 4      # routing tiles handled per compact-kernel program
+COMPACT_DEPTH = 4      # DMA ring depth (tiles of prefetch lead; see
+# _compact_kernel — depth 2 measured DMA-latency-bound at 3.2 us/tile)
 STAGE_B = 8            # two-level stage compaction: after the per-lane
 # (sublane-axis) compact, run the flat butterfly over only the top
 # STAGE_B rows when every lane's flagged count fits (the common case —
@@ -154,20 +156,24 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
     (tile ids prefetched); live tiles are a prefix of the compacted order,
     so whole batches beyond the live count skip (and share the dummy out
     block).  Channel refs are flat (rows_total, 128) views in ANY memory;
-    strips land as in route.extract.  Double-buffered at tile granularity
-    across sub-tiles AND across programs: each sub-tile issues its
-    successor's 9-channel DMA chain before waiting on its own, so the DMA
-    latency hides behind the routing network; batching amortizes the
-    per-program overhead over 4 tiles.
+    strips land as in route.extract.  DMA ring-buffered at tile granularity
+    across sub-tiles AND across programs: each sub-tile issues the
+    9-channel DMA chain COMPACT_DEPTH-1 tiles ahead before waiting on its
+    own.  Depth 2 (plain double buffering) measured DMA-LATENCY-bound:
+    3.2 us/tile against ~0.85 us of routing compute and ~0.45 us of
+    transfer — one sub-tile of lead time hides less than the ~2.5 us
+    HBM/descriptor latency of the 9-copy chain (scripts/bench_compact.py,
+    5.62 ms @1760 live tiles).  Depth 4 gives ~2.6 us of lead.
     """
     b = pl.program_id(0)
 
     ch_refs = refs[:n_ch]
     flag_ref = refs[n_ch]
     out_ref = refs[n_ch + 1]        # (1, B, n_ch, PAD_ROWS, 128) VMEM
-    scr = refs[n_ch + 2]            # (2, n_ch + 1, OUT_ROWS, 128) VMEM
-    sems = refs[n_ch + 3]           # (2, n_ch + 1) DMA semaphores
+    scr = refs[n_ch + 2]            # (DEPTH, n_ch + 1, OUT_ROWS, 128) VMEM
+    sems = refs[n_ch + 3]           # (DEPTH, n_ch + 1) DMA semaphores
     B = COMPACT_BATCH
+    D = COMPACT_DEPTH
 
     def m_of(t):
         tc = jnp.minimum(t, nt - 1)
@@ -179,27 +185,31 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
             src.at[pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
             scr.at[slot, i], sems.at[slot, i])
 
-    @pl.when((b == 0) & (m_of(0) > 0))
+    @pl.when(b == 0)
     def _():
-        for i in range(n_ch + 1):
-            dma(i, 0, tile_ids_ref[0]).start()
+        for t0 in range(D - 1):
+            @pl.when((t0 < nt) & (m_of(t0) > 0))
+            def _(t0=t0):
+                tc = jnp.minimum(t0, nt - 1)
+                for i in range(n_ch + 1):
+                    dma(i, t0 % D, tile_ids_ref[tc]).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
     row_ = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0)
     for j in range(B):
         t = b * B + j
-        nxt = jnp.minimum(t + 1, nt - 1)
+        nxt = jnp.minimum(t + D - 1, nt - 1)
 
-        @pl.when((t + 1 < nt) & (m_of(nxt) > 0))
+        @pl.when((t + D - 1 < nt) & (m_of(nxt) > 0))
         def _(nxt=nxt, t=t):
             for i in range(n_ch + 1):
-                dma(i, (t + 1) % 2, tile_ids_ref[nxt]).start()
+                dma(i, (t + D - 1) % D, tile_ids_ref[nxt]).start()
 
         @pl.when(m_of(t) > 0)
         def _(t=t, j=j):
             tc = jnp.minimum(t, nt - 1)
             tid = tile_ids_ref[tc]
-            buf = t % 2
+            buf = t % D
             for i in range(n_ch + 1):
                 dma(i, buf, tid).wait()
 
@@ -339,8 +349,9 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
             (1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), omap,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_ch + 1, OUT_ROWS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, n_ch + 1)),
+            pltpu.VMEM((COMPACT_DEPTH, n_ch + 1, OUT_ROWS, LANES),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_ch + 1)),
         ],
     )
     kernel = functools.partial(_compact_kernel, n_ch=n_ch,
