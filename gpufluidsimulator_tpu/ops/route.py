@@ -50,6 +50,10 @@ SPACE_ROWS = OUT_ROWS + 8   # 72-row routing space for the tile kernels:
 # (sublane-aligned) hold any route.  The networks are compute-bound and
 # every butterfly-stage op scales with the space, so 72 instead of the
 # generic 128-row LOCAL is a ~1.8x kernel-cost cut (BASELINE.md).
+STITCH_W = 4                # strip tiles per stitch DMA descriptor: spans
+# are consecutive tile indices, so one contiguous copy covers w tiles'
+# 9-channel strips (~1.2 MB) — per-tile trips measured DMA-latency-bound
+# at ~2 us against ~0.45 us of transfer (see _stitch_kernel).
 
 
 def n_tiles(geom: PlaneGeom) -> int:
@@ -467,33 +471,43 @@ def extract(value_stack, shifts, geom: PlaneGeom, starts=None):
 
 
 def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
-                   scr, sem, *, n_ch: int, nt: int):
+                   scr, sem, *, n_ch: int, nt: int, w: int):
     """Assemble one 8192-particle output block from its spanning tile runs.
 
-    Double-buffered: ONE contiguous DMA per tile covers all channels (the
-    strips layout keeps a tile's channels adjacent), and tile c+1's copy is
-    issued before tile c is processed, so the per-tile DMA latency that used
-    to serialize this kernel (~27us/block with per-channel start->wait
-    chains) hides behind the rolls.  Non-contributing tiles need no branch:
-    their jmask is all-false, so the select is a no-op.
+    Double-buffered at ``w``-tile granularity: ONE contiguous DMA covers
+    all channels of ``w`` consecutive span tiles (the strips layout keeps
+    a tile's channels adjacent, and spans are consecutive tile indices),
+    and batch c+1's copy is issued before batch c is processed.  Per-TILE
+    double buffering measured DMA-LATENCY-bound at ~2 us/trip against
+    ~0.15 us of roll/select compute and ~0.45 us of transfer
+    (scripts/bench_compact.py: the stitch was ~3.5 ms of the 7.5 ms
+    compact_flagged total @3000 live tiles); batching trips w-fold is the
+    fix.  The batch base clamps to nt - w, so end-of-span batches may
+    re-visit tiles an earlier batch already processed — harmless, the
+    accumulate is a select (jmask), not an add.  Non-contributing tiles
+    need no branch: their jmask is all-false, so the select is a no-op.
     """
     b = pl.program_id(0)
     p0 = b * TILE
     t0 = tfirst_ref[b]
-    # dynamic trip count: exactly the tiles this block's particles span
-    # (sparse high ranks can span many mostly-empty tiles)
+    # dynamic trip count: exactly the tile batches this block's particles
+    # span (sparse high ranks can span many mostly-empty tiles)
     span = tlast_ref[b] - t0 + 1
+    nw = (span + w - 1) // w
     accs = [jnp.zeros((OUT_ROWS, LANES), jnp.float32) for _ in range(n_ch)]
     pos = (jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1))
+
+    def base_of(c):
+        return jnp.clip(t0 + c * w, 0, nt - w)
 
     def dma(c, buf):
         # strips_ref is 2D (nt*n_ch*PAD_ROWS, 128): DMAs of slices whose
         # last two dims are (rows, 128) are the only reliably supported
         # form (a 4D source with the 65-row middle dim faults the TPU)
-        t = jnp.minimum(t0 + c, nt - 1)
         return pltpu.make_async_copy(
-            strips_ref.at[pl.ds(t * n_ch * PAD_ROWS, n_ch * PAD_ROWS), :],
+            strips_ref.at[pl.ds(base_of(c) * (n_ch * PAD_ROWS),
+                                w * n_ch * PAD_ROWS), :],
             scr.at[buf], sem.at[buf])
 
     dma(0, 0).start()
@@ -501,37 +515,44 @@ def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
     def body(c, accs):
         buf = c % 2
 
-        @pl.when(c + 1 < span)
+        @pl.when(c + 1 < nw)
         def _():
             dma(c + 1, (c + 1) % 2).start()
 
         dma(c, buf).wait()
-        t = jnp.minimum(t0 + c, nt - 1)
-        s_t = starts_ref[t]
-        e_t = starts_ref[t + 1]
-        o_t = s_t % LANES
-        # out flat j corresponds to strip flat (j + off); j + off <= o_t +
-        # m_t - 1 < 8320, so the 72-row cyclic space never wraps a live read
-        off = o_t + (p0 - s_t)
-        rot = (-off) % (SPACE_ROWS * LANES)
-        lane_rot = rot % LANES
-        row_rot = rot // LANES
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SPACE_ROWS, LANES), 1)
-        jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
-        new = []
-        for ch in range(n_ch):
-            x = jnp.concatenate(
-                [scr[buf, ch * PAD_ROWS:(ch + 1) * PAD_ROWS, :],
-                 jnp.zeros((SPACE_ROWS - PAD_ROWS, LANES), jnp.float32)],
-                axis=0)
-            a = pltpu.roll(x, lane_rot, axis=1)
-            hi = pltpu.roll(a, row_rot + 1, axis=0)
-            lo = pltpu.roll(a, row_rot, axis=0)
-            rotated = jnp.where(lane < lane_rot, hi, lo)[:OUT_ROWS, :]
-            new.append(jnp.where(jmask, rotated, accs[ch]))
-        return new
+        tw = base_of(c)
+        for wsub in range(w):
+            t = tw + wsub                       # <= nt - 1
+            s_t = starts_ref[t]
+            e_t = starts_ref[t + 1]
+            o_t = s_t % LANES
+            # out flat j corresponds to strip flat (j + off); j + off <=
+            # o_t + m_t - 1 < 8320, so the 72-row cyclic space never wraps
+            # a live read
+            off = o_t + (p0 - s_t)
+            rot = (-off) % (SPACE_ROWS * LANES)
+            lane_rot = rot % LANES
+            row_rot = rot // LANES
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (SPACE_ROWS, LANES), 1)
+            jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
+            new = []
+            for ch in range(n_ch):
+                r0 = (wsub * n_ch + ch) * PAD_ROWS
+                x = jnp.concatenate(
+                    [scr[buf, r0:r0 + PAD_ROWS, :],
+                     jnp.zeros((SPACE_ROWS - PAD_ROWS, LANES),
+                               jnp.float32)],
+                    axis=0)
+                a = pltpu.roll(x, lane_rot, axis=1)
+                hi = pltpu.roll(a, row_rot + 1, axis=0)
+                lo = pltpu.roll(a, row_rot, axis=0)
+                rotated = jnp.where(lane < lane_rot, hi, lo)[:OUT_ROWS, :]
+                new.append(jnp.where(jmask, rotated, accs[ch]))
+            accs = new
+        return accs
 
-    accs = jax.lax.fori_loop(0, span, body, accs)
+    accs = jax.lax.fori_loop(0, nw, body, accs)
     for ch in range(n_ch):
         out_ref[ch, 0, :, :] = accs[ch]
 
@@ -540,6 +561,7 @@ def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
     """(nt, C, 65, 128) tile runs -> (C, n_blocks*64, 128) compact
     slot-sorted particle values."""
     nt_, n_ch = strips.shape[0], strips.shape[1]
+    w = STITCH_W if nt_ >= STITCH_W else 1
     strips = strips.reshape(nt_ * n_ch * PAD_ROWS, LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -549,11 +571,11 @@ def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
             (n_ch, 1, OUT_ROWS, LANES), lambda b, *_: (0, 0, b, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_ch * PAD_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((2, w * n_ch * PAD_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_stitch_kernel, n_ch=n_ch, nt=nt_)
+    kernel = functools.partial(_stitch_kernel, n_ch=n_ch, nt=nt_, w=w)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
