@@ -559,9 +559,25 @@ def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
 
 def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
     """(nt, C, 65, 128) tile runs -> (C, n_blocks*64, 128) compact
-    slot-sorted particle values."""
+    slot-sorted particle values.
+
+    ``strips`` may carry MORE tiles than ``starts`` describes (the
+    compact_flagged path pads a dummy batch, and tfirst can equal the real
+    tile count for all-empty blocks), and the kernel's w-tile batching
+    visits up to w-1 tiles past tlast — so ``starts`` is padded here to
+    cover every visitable tile, repeating its last entry.  Padded tiles
+    get s_t == e_t, which makes their jmask all-false (pure no-op selects);
+    without the padding the kernel reads garbage SMEM past the prefetch
+    array and can select dummy-tile strip data into the output (advisor
+    round-2 high finding).
+    """
     nt_, n_ch = strips.shape[0], strips.shape[1]
     w = STITCH_W if nt_ >= STITCH_W else 1
+    # kernel reads starts_ref[t + 1] for t <= nt_ - 1 -> needs nt_ + 1 entries
+    pad = nt_ + 1 - starts.shape[0]
+    if pad > 0:
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(starts[-1:], (pad,))])
     strips = strips.reshape(nt_ * n_ch * PAD_ROWS, LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
