@@ -50,6 +50,17 @@ class SimParams:
     tait_gamma: float = 7.0
     # --- uniform-grid neighbor structure (configs 2+) -----------------------
     cell_size: float = 0.0             # 0.0 -> defaults to h
+    # Per-axis binning cell sizes (overrides cell_size when non-empty).
+    # The round-3 padding attack (BASELINE.md): an ANISOTROPIC cell
+    # (dx, 2dx[, 2dx]) with the fine axis on x — extra x-stencil offsets
+    # are query lane-rolls that share each trip's candidate reads, while
+    # exact-integer-multiple y/z windows are alias-free on lattice-coherent
+    # flow, so cell occupancy concentrates near its mean instead of
+    # aliasing over 1..8 and the per-block rank bounds stop saturating.
+    # Axis 0 may be < h (the kernels widen the x stencil to
+    # ceil(h/cell_x) lane-rolls); other axes must stay >= h (their
+    # stencil halfwidth is fixed at 1).
+    cell_aniso: Tuple[float, ...] = ()
     # K: fixed particle slots per cell.  Mean occupancy at cell=h is ~2.2
     # (3D lattice, h = 1.3 dx); 8 covers the compressed tail with margin.
     cell_capacity: int = 8
@@ -71,18 +82,55 @@ class SimParams:
                 )
         if self.eos not in ("linear", "tait"):
             raise ValueError(f"unknown eos {self.eos!r}")
+        if self.cell_aniso:
+            if len(self.cell_aniso) != self.dim:
+                raise ValueError(
+                    f"cell_aniso has length {len(self.cell_aniso)} but "
+                    f"dim={self.dim}")
+            if any(c <= 0.0 for c in self.cell_aniso):
+                raise ValueError(f"cell_aniso must be > 0: {self.cell_aniso}")
+            for c in self.cell_aniso[1:]:
+                if c < self.h * (1.0 - 1e-6):
+                    raise ValueError(
+                        "cell_aniso y/z cells must be >= h (their stencil "
+                        f"halfwidth is 1): {self.cell_aniso} vs h={self.h}")
+            if self.x_halfwidth > 3:
+                raise ValueError(
+                    f"cell_aniso[0]={self.cell_aniso[0]} needs an x-stencil "
+                    f"halfwidth {self.x_halfwidth} > 3 (VMEM/accumulator "
+                    "budget caps it at 3)")
 
     @property
     def cell(self) -> float:
-        """Edge length of one grid cell (defaults to the support radius h)."""
+        """Edge length of an AXIS-0 grid cell (defaults to the support
+        radius h).  Axis 0 is what slab sharding, x-halo lanes and the
+        x-stencil use; under ``cell_aniso`` the axes differ — use
+        ``cells_axis`` for per-axis sizes."""
+        if self.cell_aniso:
+            return self.cell_aniso[0]
         return self.cell_size if self.cell_size > 0.0 else self.h
+
+    @property
+    def cells_axis(self) -> Tuple[float, ...]:
+        """Per-axis binning cell sizes."""
+        if self.cell_aniso:
+            return self.cell_aniso
+        return (self.cell,) * self.dim
+
+    @property
+    def x_halfwidth(self) -> int:
+        """x-stencil halfwidth: lane-roll offsets are -hw..hw (1 for
+        cubic cells; ceil(h/cell_x) when the x cell is finer than h)."""
+        cx = self.cell_aniso[0] if self.cell_aniso else self.cell
+        return max(1, int(math.ceil(self.h / cx - 1e-6)))
 
     @property
     def grid_res(self) -> Tuple[int, ...]:
         """Cells per axis covering [bounds_min, bounds_max]."""
         return tuple(
-            max(1, int(math.ceil((hi - lo) / self.cell - 1e-9)))
-            for lo, hi in zip(self.bounds_min, self.bounds_max)
+            max(1, int(math.ceil((hi - lo) / c - 1e-9)))
+            for (lo, hi), c in zip(
+                zip(self.bounds_min, self.bounds_max), self.cells_axis)
         )
 
     @property

@@ -142,7 +142,49 @@ def add_states(a: State, b: State) -> State:
     )
 
 
+def spawn_boxes(n: int = 4096, dim: int = 2,
+                jitter: float = 0.0, seed: int = 0,
+                boxes: Optional[Sequence[Tuple]] = None
+                ) -> Tuple[SimParams, State]:
+    """Multiple particle spawn boxes in one scene (composes ``spawn_box`` +
+    ``add_states`` — the reference's "particle spawn boxes" capability as a
+    first-class scene, reachable from the CLI via --scene spawn_boxes and
+    repeated --box flags).
+
+    ``boxes``: sequence of (box_min, box_max[, velocity]) in domain units
+    (the unit box); velocity optional per box.  Default: a resting pool in
+    the lower half plus a block dropped into it with a downward kick.
+    ``n`` sets the TOTAL particle budget; each box gets a share
+    proportional to its volume (lattice spacing is global, so densities
+    match across boxes).
+    """
+    lo = tuple(0.0 for _ in range(dim))
+    hi = tuple(1.0 for _ in range(dim))
+    if boxes is None:
+        pool = ([0.0] * dim, [1.0, 0.3] + [1.0] * (dim - 2))
+        drop_lo = [0.35, 0.6] + ([0.35] if dim == 3 else [])
+        drop_hi = [0.65, 0.9] + ([0.65] if dim == 3 else [])
+        kick = tuple(-1.0 if d == 1 else 0.0 for d in range(dim))
+        boxes = [pool, (drop_lo, drop_hi, kick)]
+    vol = 0.0
+    height = 0.1
+    for b in boxes:
+        bmin, bmax = b[0], b[1]
+        vol += math.prod(max(bmax[d] - bmin[d], 0.0) for d in range(dim))
+        height = max(height, max(bmax[1] - bmin[1] for _ in (0,)))
+    params = _derive(n, vol, dim, height=height, bounds=(lo, hi))
+    state = None
+    for i, b in enumerate(boxes):
+        bmin, bmax = b[0], b[1]
+        velocity = b[2] if len(b) > 2 else None
+        s = spawn_box(params, bmin, bmax, velocity=velocity,
+                      jitter=jitter, seed=seed + i)
+        state = s if state is None else add_states(state, s)
+    return params, state
+
+
 SCENES = {
     "dam_break": dam_break,
     "double_dam_break": double_dam_break,
+    "spawn_boxes": spawn_boxes,
 }

@@ -37,8 +37,17 @@ from ..models.params import SimParams
 SENTINEL = 1.0e6
 
 
+def halfwidths(params: SimParams) -> Tuple[int, ...]:
+    """Per-axis stencil halfwidth: 1 for cells >= h; ceil(h/cell) on a
+    finer axis (anisotropic cells, SimParams.cell_aniso)."""
+    import math
+    return tuple(max(1, int(math.ceil(params.h / c - 1e-6)))
+                 for c in params.cells_axis)
+
+
 def padded_res(params: SimParams) -> Tuple[int, ...]:
-    return tuple(r + 2 for r in params.grid_res)
+    return tuple(r + 2 * hw
+                 for r, hw in zip(params.grid_res, halfwidths(params)))
 
 
 def num_padded_cells(params: SimParams) -> int:
@@ -58,24 +67,29 @@ def strides(params: SimParams) -> Tuple[int, ...]:
 
 
 def neighbor_offsets(params: SimParams) -> Tuple[int, ...]:
-    """The 3^d linear cell offsets of the neighborhood stencil."""
+    """The linear cell offsets of the neighborhood stencil (3^d for cubic
+    cells; a finer axis widens to 2*hw+1 offsets along it)."""
     st = strides(params)
+    hws = halfwidths(params)
     offs = [0]
     for d in range(params.dim):
-        offs = [o + dd * st[d] for o in offs for dd in (-1, 0, 1)]
+        offs = [o + dd * st[d] for o in offs
+                for dd in range(-hws[d], hws[d] + 1)]
     return tuple(sorted(offs))
 
 
 def cell_id(pos, params: SimParams):
     """(N, d) positions -> (N,) linearized *padded* cell ids (interior)."""
     lo = jnp.asarray(params.bounds_min, pos.dtype)
-    inv = 1.0 / params.cell
+    cax = params.cells_axis
+    hws = halfwidths(params)
     res = params.grid_res
     st = strides(params)
     cid = jnp.zeros(pos.shape[:-1], jnp.int32)
     for d in range(params.dim):
-        c = jnp.floor((pos[..., d] - lo[d]) * inv).astype(jnp.int32)
-        c = jnp.clip(c, 0, res[d] - 1) + 1      # +1: ghost ring offset
+        c = jnp.floor((pos[..., d] - lo[d]) * (1.0 / cax[d])).astype(
+            jnp.int32)
+        c = jnp.clip(c, 0, res[d] - 1) + hws[d]   # ghost ring offset
         cid = cid + c * st[d]
     return cid
 

@@ -67,7 +67,14 @@ class IncState(NamedTuple):
     """Scan-carried state of the incremental path."""
     fields6: jnp.ndarray     # (6, K, pz, n_bx, py, 128) x,y,z,vx,vy,vz
     idp: jnp.ndarray         # (K, pz, n_bx, py, 128) particle id as f32
-    overflow: jnp.ndarray    # () i32, accumulated drops
+    overflow: jnp.ndarray    # () i32, physics-capacity drops (mover stage,
+    #                          arrival ranks, cell ranks)
+    mig_overflow: jnp.ndarray  # () i32, ICI mover-buffer capacity misses
+    #                          (sharded-inc only; 0 on a single chip) —
+    #                          kept separate from ``overflow`` so cell
+    #                          overflow and ICI capacity misses stay
+    #                          independently observable, mirroring
+    #                          parallel.sharded.run_sharded
 
     @property
     def geom_shape(self):
@@ -110,11 +117,11 @@ def new_cids(fields6, params: SimParams, geom: PlaneGeom, x_origin=None):
     """Per-slot linear cell id from the position channels (elementwise
     mirror of planes.cell_linear_parts)."""
     lo = params.bounds_min
-    inv = 1.0 / params.cell
+    cax = params.cells_axis
 
     def axis(d, n, origin=None):
         base = lo[d] if origin is None else origin
-        c = jnp.floor((fields6[d] - base) * inv).astype(jnp.int32)
+        c = jnp.floor((fields6[d] - base) * (1.0 / cax[d])).astype(jnp.int32)
         return jnp.clip(c, 0, n - 1)
 
     x = axis(0, geom.nx, x_origin)
@@ -149,29 +156,32 @@ def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
 # ---------------------------------------------------------------------------
 
 def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
-                    n_ch: int, rows_total: int, nt: int):
+                    group_sizes, rows_total: int, nt: int):
     """Compact the flagged slots of one routing tile into its particle run.
 
     Grid program b handles COMPACT_BATCH consecutive compact tile indices
     (tile ids prefetched); live tiles are a prefix of the compacted order,
     so whole batches beyond the live count skip (and share the dummy out
-    block).  Channel refs are flat (rows_total, 128) views in ANY memory;
-    strips land as in route.extract.  DMA ring-buffered at tile granularity
-    across sub-tiles AND across programs: each sub-tile issues the
-    9-channel DMA chain COMPACT_DEPTH-1 tiles ahead before waiting on its
-    own.  Depth 2 (plain double buffering) measured DMA-LATENCY-bound:
-    3.2 us/tile against ~0.85 us of routing compute and ~0.45 us of
-    transfer — one sub-tile of lead time hides less than the ~2.5 us
-    HBM/descriptor latency of the 9-copy chain (scripts/bench_compact.py,
-    5.62 ms @1760 live tiles).  Depth 4 gives ~2.6 us of lead.
+    block).  Channel refs arrive as GROUPS: a (rows_total, 128) single
+    channel, or a (g, rows_total, 128) multi-channel stack whose g
+    channels ride ONE strided DMA (dims (g, 64, 128) — middle dim a
+    sublane multiple, the known-safe form).  Grouping is the round-3 fix
+    for the measured DMA-LATENCY bound: the 9 per-channel copies cost
+    ~2.5 us of descriptor/HBM latency each against ~0.45 us of transfer
+    (scripts/bench_compact.py, round 2) — the production caller now
+    issues 3 copies per tile (6-channel pos/vel group + id + flag).
+    DMA ring-buffered at tile granularity across sub-tiles AND across
+    programs with COMPACT_DEPTH-1 tiles of lead.
     """
     b = pl.program_id(0)
 
-    ch_refs = refs[:n_ch]
-    flag_ref = refs[n_ch]
-    out_ref = refs[n_ch + 1]        # (1, B, n_ch, PAD_ROWS, 128) VMEM
-    scr = refs[n_ch + 2]            # (DEPTH, n_ch + 1, OUT_ROWS, 128) VMEM
-    sems = refs[n_ch + 3]           # (DEPTH, n_ch + 1) DMA semaphores
+    n_g = len(group_sizes)
+    n_ch = sum(group_sizes) - 1     # last group is the flag channel
+    g_off = [sum(group_sizes[:i]) for i in range(n_g)]
+    ch_refs = refs[:n_g]
+    out_ref = refs[n_g]             # (1, B, n_ch, PAD_ROWS, 128) VMEM
+    scr = refs[n_g + 1]             # (DEPTH, n_ch + 1, OUT_ROWS, 128) VMEM
+    sems = refs[n_g + 2]            # (DEPTH, n_g) DMA semaphores
     B = COMPACT_BATCH
     D = COMPACT_DEPTH
 
@@ -180,10 +190,14 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
         return jnp.where(t < nt, starts_ref[tc + 1] - starts_ref[tc], 0)
 
     def dma(i, slot, tid):
-        src = ch_refs[i] if i < n_ch else flag_ref
+        src, g, off = ch_refs[i], group_sizes[i], g_off[i]
+        if g == 1:
+            return pltpu.make_async_copy(
+                src.at[pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
+                scr.at[slot, off], sems.at[slot, i])
         return pltpu.make_async_copy(
-            src.at[pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
-            scr.at[slot, i], sems.at[slot, i])
+            src.at[:, pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
+            scr.at[slot, off:off + g], sems.at[slot, i])
 
     @pl.when(b == 0)
     def _():
@@ -191,7 +205,7 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
             @pl.when((t0 < nt) & (m_of(t0) > 0))
             def _(t0=t0):
                 tc = jnp.minimum(t0, nt - 1)
-                for i in range(n_ch + 1):
+                for i in range(n_g):
                     dma(i, t0 % D, tile_ids_ref[tc]).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
@@ -202,7 +216,7 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
 
         @pl.when((t + D - 1 < nt) & (m_of(nxt) > 0))
         def _(nxt=nxt, t=t):
-            for i in range(n_ch + 1):
+            for i in range(n_g):
                 dma(i, (t + D - 1) % D, tile_ids_ref[nxt]).start()
 
         @pl.when(m_of(t) > 0)
@@ -210,7 +224,7 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
             tc = jnp.minimum(t, nt - 1)
             tid = tile_ids_ref[tc]
             buf = t % D
-            for i in range(n_ch + 1):
+            for i in range(n_g):
                 dma(i, buf, tid).wait()
 
             o = starts_ref[tc] % LANES
@@ -272,13 +286,21 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     """Extract flagged slots' channel values into compact rows.
 
-    channels: list of (..., total_slots reshapable) f32 arrays (same shape);
-    flags: bool array of that shape.  Returns (vals (C, max_out), count ())
-    — slots beyond ``max_out`` are dropped (caller counts).  Output order
-    is the deterministic two-level tile order: tiles in slot order, and
-    within a tile (lane-rank, lane)-major (see STAGE_B) — downstream
-    consumers never rely on slot order.
+    channels: list of f32 arrays — each either a single channel (shape ==
+    flags.shape) or a GROUP (leading dim = channel count, rest ==
+    flags.shape).  A group's channels ride one strided DMA per tile in
+    the kernel (round 3: the per-tile copy chain was DMA-latency-bound at
+    9 copies; the production callers pass the (6, ...) pos/vel plane
+    stack as one group -> 3 copies/tile).  flags: bool array.  Returns
+    (vals (C, max_out), count ()) — slots beyond ``max_out`` are dropped
+    (caller counts).  Output order is the deterministic two-level tile
+    order: tiles in slot order, and within a tile (lane-rank, lane)-major
+    (see STAGE_B) — downstream consumers never rely on slot order.
     """
+    groups = [c if c.shape != flags.shape else c[None] for c in channels]
+    assert all(g.shape[1:] == flags.shape for g in groups), (
+        [g.shape for g in groups], flags.shape)
+    channels = [g[i] for g in groups for i in range(g.shape[0])]
     n_ch = len(channels)
     flat_flags = flags.reshape(-1)
     total = flat_flags.shape[0]
@@ -329,8 +351,11 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
         jnp.cumsum(counts_c, dtype=jnp.int32)])
     starts_c = jnp.minimum(starts_c, max_out)
 
-    flat_ch = [c.reshape(rows_total, LANES) for c in channels]
-    flat_fl = flat_flags.reshape(rows_total, LANES).astype(jnp.float32)
+    flat_g = [g.reshape(g.shape[0], rows_total, LANES) if g.shape[0] > 1
+              else g.reshape(rows_total, LANES) for g in groups]
+    flat_g.append(flat_flags.reshape(rows_total, LANES).astype(jnp.float32))
+    group_sizes = tuple(g.shape[0] for g in groups) + (1,)
+    n_g = len(group_sizes)
     nb = -(-nt // COMPACT_BATCH)
 
     def omap(b, tids_ref, starts_ref, hot_ref, nlive_ref):
@@ -344,17 +369,17 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_ch + 1),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_g,
         out_specs=pl.BlockSpec(
             (1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), omap,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((COMPACT_DEPTH, n_ch + 1, OUT_ROWS, LANES),
                        jnp.float32),
-            pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_ch + 1)),
+            pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_g)),
         ],
     )
-    kernel = functools.partial(_compact_kernel, n_ch=n_ch,
+    kernel = functools.partial(_compact_kernel, group_sizes=group_sizes,
                                rows_total=rows_total, nt=nt)
     strips = pl.pallas_call(
         kernel,
@@ -362,7 +387,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
         out_shape=jax.ShapeDtypeStruct(
             (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_ids, starts_c, hot_c, n_live.reshape(1), *flat_ch, flat_fl)
+    )(tile_ids, starts_c, hot_c, n_live.reshape(1), *flat_g)
     # flatten batches back to per-tile strips; the dummy batch rides along
     # at the tail — stitch spans [tfirst, tlast] from starts_c, all < nt,
     # so it never reads it (slicing it off would materialize a copy)
@@ -671,7 +696,7 @@ def to_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
                             with_ids=True, active=active)
     planes = table.planes
     return IncState(fields6=planes[:6], idp=planes[6],
-                    overflow=table.overflow)
+                    overflow=table.overflow, mig_overflow=jnp.int32(0))
 
 
 def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
@@ -683,7 +708,7 @@ def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
     slots never exceed the particle count).
     """
     valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
-    channels = [state.fields6[i] for i in range(6)] + [state.idp]
+    channels = [state.fields6, state.idp]      # 6-ch group + id
     if params.diagnostics:
         from .pallas_sph import density_planes
         halo6 = pm.halo_x(state.fields6)
@@ -699,7 +724,7 @@ def to_flat_lite(state: IncState, geom: PlaneGeom, n: int):
     extraction for movie rollouts (SURVEY.md §3.3 render-frame stack).
     Same two-level tile order as to_flat; order is set-valued per frame."""
     valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
-    channels = [state.fields6[i] for i in range(3)] + [state.idp]
+    channels = [state.fields6[:3], state.idp]  # 3-ch pos group + id
     return compact_flagged(channels, valid, _round_tile(n))
 
 
@@ -722,7 +747,7 @@ def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int):
     """
     flags = (flagp > 0.5) & interior_mask(geom)[None]
     staged_total = jnp.sum(flags).astype(jnp.int32)
-    channels = [new6[i] for i in range(6)] + [idp]
+    channels = [new6, idp]                     # 6-ch group + id
     movers, m = compact_flagged(channels, flags, m_cap)
     return movers, m, staged_total
 
@@ -800,7 +825,8 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
     binning origin, ``exchange`` the cross-device ghost-lane fill,
     ``wall_params`` the global-domain walls, and slab-leaving movers ride
     ICI to the x neighbors via ``exchange_movers`` (their loss to
-    ``mig_cap`` is counted into overflow).
+    ``mig_cap`` is counted into ``mig_overflow``, separately from the
+    physics-capacity ``overflow``).
     """
     from .pallas_sph import density_planes, accel_planes
 
@@ -832,9 +858,9 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
                                            x_origin, live=live)
     fields6, idp, lost_rank = consolidate(new6, state.idp, flagp, arr,
                                           live_t, geom)
-    overflow = (state.overflow + (staged_total - m) + lost_dup + lost_rank
-                + lost_ship)
-    return IncState(fields6=fields6, idp=idp, overflow=overflow)
+    overflow = state.overflow + (staged_total - m) + lost_dup + lost_rank
+    return IncState(fields6=fields6, idp=idp, overflow=overflow,
+                    mig_overflow=state.mig_overflow + lost_ship)
 
 
 # ---------------------------------------------------------------------------

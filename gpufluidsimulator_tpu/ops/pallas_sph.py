@@ -80,9 +80,15 @@ def _build_windows(scr, refs, n_fields: int, dzs: Sequence[int]):
             = r2[:, :, 0, 0, 0:1, :]
 
 
-def _stencil(dim: int):
+def _stencil(dim: int, hw: int = 1):
+    """z slab choices, y window slices, x lane-roll offsets.
+
+    ``hw`` is the x-stencil halfwidth: 1 for cubic cells; ceil(h/cell_x)
+    under anisotropic cells (SimParams.cell_aniso) — extra x offsets are
+    query lane-rolls that SHARE each trip's candidate reads, which is what
+    makes the fine-x layout pay (BASELINE.md round-3 padding attack)."""
     dzs = (0, 1, 2) if dim == 3 else (1,)
-    return dzs, (0, 1, 2), (-1, 0, 1)
+    return dzs, (0, 1, 2), tuple(range(-hw, hw + 1))
 
 
 # --------------------------------------------------------------------------
@@ -372,12 +378,12 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
             row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
             gx = bx * pm.TILE_X + lane - 1
             interior = (lane >= 1) & (lane <= pm.TILE_X) & (gx < geom.nx)
-            inv = jnp.float32(1.0 / params.cell)
+            cax = params.cells_axis
             lo = params.bounds_min
 
             def cellc(c, ncells, base=None):
                 b = jnp.float32(lo[c]) if base is None else base
-                f = jnp.floor((pnew[c] - b) * inv)
+                f = jnp.floor((pnew[c] - b) * jnp.float32(1.0 / cax[c]))
                 return jnp.clip(f.astype(jnp.int32), 0, ncells - 1)
 
             x0 = slab_ref[0]          # slab binning origin (= lo[0] 1-chip)

@@ -56,6 +56,15 @@ class PlaneGeom(NamedTuple):
 
 
 def geometry(params: SimParams) -> PlaneGeom:
+    if params.x_halfwidth != 1:
+        raise ValueError(
+            "the rank-plane (pallas) tier needs every binning cell >= h "
+            "(x-stencil halfwidth 1); anisotropic finer-x cells are "
+            "supported by the gridded tier only.  Measured negative "
+            "(BASELINE.md round 3): the alias-free occupancy of exact "
+            "lattice-multiple cells does not survive evolved flow — shear "
+            "re-aliases the windows (max occ 4 -> 13 by step 3000 at 1M), "
+            "so the sweep-work model flips to 2-2.7x WORSE than cubic h.")
     res = params.grid_res
     nx = res[0]
     ny = res[1]
@@ -88,7 +97,7 @@ def snap_cell(params: SimParams, max_stretch: float = 1.06,
     threshold avoids trading sweep-occupancy growth for marginal savings).
     No-op when ``cell_size`` was set explicitly.
     """
-    if params.cell_size > 0.0:
+    if params.cell_size > 0.0 or params.cell_aniso:
         return params
     base = params.h
     base_cells = geometry(params).cells
@@ -112,6 +121,27 @@ def snap_cell(params: SimParams, max_stretch: float = 1.06,
     return params.replace(cell_size=best[0])
 
 
+def lattice_dx(params: SimParams) -> float:
+    """Recover the scene's lattice spacing from the particle mass
+    (scenes._derive sets mass = rho0 * dx^dim)."""
+    return (params.particle_mass / params.rest_density) ** (1.0 / params.dim)
+
+
+def aniso_cells(params: SimParams, fine: int = 1,
+                coarse: int = 2) -> SimParams:
+    """Anisotropic binning cells (fine*dx on x, coarse*dx on y/z) — the
+    round-3 padding attack (see SimParams.cell_aniso).  Exact integer
+    multiples of the lattice spacing keep bulk occupancy concentrated at
+    fine*coarse^(d-1) instead of aliasing over 1..(2*coarse)^... ; the
+    x stencil widens to ceil(h / (fine*dx)) lane-rolls.  No-op if the
+    coarse cell would fall below h (custom h/mass combos)."""
+    dx = lattice_dx(params)
+    if coarse * dx < params.h * (1.0 - 1e-6):
+        return params
+    cells = (fine * dx,) + (coarse * dx,) * (params.dim - 1)
+    return params.replace(cell_aniso=cells, cell_size=0.0)
+
+
 def cell_linear_parts(pos, params: SimParams, geom: PlaneGeom,
                       x_origin=None):
     """(N, d) -> (N,) linear cell index in the allocated plane frame.
@@ -120,11 +150,11 @@ def cell_linear_parts(pos, params: SimParams, geom: PlaneGeom,
     passes each device's domain offset while sharing one compiled program.
     """
     lo = jnp.asarray(params.bounds_min, pos.dtype)
-    inv = 1.0 / params.cell
+    cax = params.cells_axis
 
     def axis(d, n, origin=None):
         base = lo[d] if origin is None else origin
-        c = jnp.floor((pos[:, d] - base) * inv).astype(jnp.int32)
+        c = jnp.floor((pos[:, d] - base) * (1.0 / cax[d])).astype(jnp.int32)
         return jnp.clip(c, 0, n - 1)
 
     x = axis(0, geom.nx, x_origin)

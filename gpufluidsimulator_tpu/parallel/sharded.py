@@ -33,7 +33,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.params import SimParams
@@ -213,10 +212,10 @@ def run_sharded(sstate: ShardedState, params: SimParams, mesh: Mesh,
     params_loc, nx_local = local_params(params, n_dev)
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(AXIS),) * 7,
-        check_rep=False)
+        check_vma=False)
     def fn(pos, vel, ids, ovf0, mig0):
         n_cap = pos.shape[1]
         zero = jnp.zeros((1, n_cap), jnp.float32)
@@ -252,8 +251,10 @@ def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
     and slab-crossing movers ride ICI inside the scan — the migration
     payload is two (7, mig_cap) mover buffers per step instead of the
     full-path's particle-array repack (ops/inc.py ``exchange_movers``).
-    Capacity losses (mover stage, ICI buffers, arrival ranks, cell ranks)
-    all accumulate into ``overflow``; ``mig_overflow`` stays untouched.
+    Physics-capacity losses (mover stage, arrival ranks, cell ranks)
+    accumulate into ``overflow``; ICI mover-buffer capacity misses
+    accumulate into ``mig_overflow`` — the two failure modes stay
+    independently observable, exactly as on ``run_sharded``.
     """
     from ..ops import inc
     n_dev = mesh.devices.size
@@ -269,11 +270,11 @@ def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
     d = sstate.pos.shape[-1]
 
     @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS),) * 6,
-        check_rep=False)
-    def fn(pos, vel, ids, ovf0):
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS),) * 7,
+        check_vma=False)
+    def fn(pos, vel, ids, ovf0, mig0):
         x_origin = (jnp.float32(params.bounds_min[0])
                     + jax.lax.axis_index(AXIS).astype(jnp.float32)
                     * jnp.float32(width))
@@ -297,12 +298,14 @@ def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
         rho = jnp.full((n_cap,), params.rest_density, jnp.float32)
         pres = jnp.zeros((n_cap,), jnp.float32)
         return (posn[None], veln[None], rho[None], pres[None], idsn[None],
-                ovf0 + sN.overflow.reshape(1))
+                ovf0 + sN.overflow.reshape(1),
+                mig0 + sN.mig_overflow.reshape(1))
 
-    pos, vel, rho, pres, ids, ovf = jax.jit(fn)(
-        sstate.pos, sstate.vel, sstate.ids, sstate.overflow)
+    pos, vel, rho, pres, ids, ovf, mig = jax.jit(fn)(
+        sstate.pos, sstate.vel, sstate.ids, sstate.overflow,
+        sstate.mig_overflow)
     return ShardedState(pos=pos, vel=vel, rho=rho, pres=pres, ids=ids,
-                        overflow=ovf, mig_overflow=sstate.mig_overflow)
+                        overflow=ovf, mig_overflow=mig)
 
 
 # ---------------------------------------------------------------------------

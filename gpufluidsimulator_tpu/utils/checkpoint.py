@@ -41,8 +41,9 @@ def load(path: str) -> Tuple[State, SimParams, int]:
 
     with np.load(path) as z:
         meta = json.loads(bytes(z["params_json"]).decode())
-        for key in ("gravity", "bounds_min", "bounds_max"):
-            meta[key] = tuple(meta[key])
+        for key in ("gravity", "bounds_min", "bounds_max",
+                    "cell_aniso"):
+            meta[key] = tuple(meta.get(key, ()))
         meta["obstacles"] = tuple(
             (o[0], tuple(o[1]), o[2] if isinstance(o[2], (int, float))
              else tuple(o[2])) for o in meta["obstacles"])
@@ -62,8 +63,8 @@ def _params_meta(params: SimParams) -> np.ndarray:
 
 def _params_from_meta(buf) -> SimParams:
     meta = json.loads(bytes(buf).decode())
-    for key in ("gravity", "bounds_min", "bounds_max"):
-        meta[key] = tuple(meta[key])
+    for key in ("gravity", "bounds_min", "bounds_max", "cell_aniso"):
+        meta[key] = tuple(meta.get(key, ()))
     meta["obstacles"] = tuple(
         (o[0], tuple(o[1]), o[2] if isinstance(o[2], (int, float))
          else tuple(o[2])) for o in meta["obstacles"])
@@ -132,6 +133,7 @@ def save_planes(path: str, inc_state, params: SimParams,
         fields6=np.asarray(inc_state.fields6),
         idp=np.asarray(inc_state.idp),
         overflow=np.asarray(inc_state.overflow),
+        mig_overflow=np.asarray(inc_state.mig_overflow),
         n=np.asarray(n, np.int64),
         step=np.asarray(step, np.int64),
         params_json=_params_meta(params))
@@ -144,9 +146,13 @@ def load_planes(path: str):
 
     with np.load(path) as z:
         params = _params_from_meta(z["params_json"])
+        # mig_overflow absent in pre-round-3 checkpoints: default 0
+        mig = (jnp.asarray(z["mig_overflow"]) if "mig_overflow" in z
+               else jnp.int32(0))
         state = IncState(fields6=jnp.asarray(z["fields6"]),
                          idp=jnp.asarray(z["idp"]),
-                         overflow=jnp.asarray(z["overflow"]))
+                         overflow=jnp.asarray(z["overflow"]),
+                         mig_overflow=mig)
         return state, params, int(z["step"]), int(z["n"])
 
 

@@ -23,9 +23,29 @@ import sys
 import numpy as np
 
 
+def _parse_box(spec: str, dim: int):
+    """'x0,y0[,z0]:x1,y1[,z1][:vx,vy[,vz]]' -> (min, max[, velocity])."""
+    parts = spec.split(":")
+    if len(parts) not in (2, 3):
+        raise argparse.ArgumentTypeError(
+            f"--box wants min:max[:vel], got {spec!r}")
+    vecs = []
+    for part in parts:
+        v = tuple(float(x) for x in part.split(","))
+        if len(v) != dim:
+            raise argparse.ArgumentTypeError(
+                f"--box component {part!r} has {len(v)} coords, dim={dim}")
+        vecs.append(v)
+    return tuple(vecs)
+
+
 def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="dam_break",
-                   choices=["dam_break", "double_dam_break"])
+                   choices=["dam_break", "double_dam_break", "spawn_boxes"])
+    p.add_argument("--box", action="append", default=None, metavar="SPEC",
+                   help="spawn box for --scene spawn_boxes, repeatable: "
+                        "'x0,y0[,z0]:x1,y1[,z1][:vx,vy[,vz]]' (domain "
+                        "units; optional per-box velocity)")
     p.add_argument("-n", "--particles", type=int, default=65536)
     p.add_argument("--dim", type=int, default=2, choices=[2, 3])
     p.add_argument("--jitter", type=float, default=0.0)
@@ -53,8 +73,14 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
 
 def _build_scene(args):
     from ..models import scenes
+    kw = {}
+    if getattr(args, "box", None):
+        if args.scene != "spawn_boxes":
+            raise SystemExit("--box requires --scene spawn_boxes")
+        kw["boxes"] = [_parse_box(s, args.dim) for s in args.box]
     params, state = scenes.SCENES[args.scene](
-        n=args.particles, dim=args.dim, jitter=args.jitter, seed=args.seed)
+        n=args.particles, dim=args.dim, jitter=args.jitter, seed=args.seed,
+        **kw)
     over = {}
     for name, attr in [("h", "h"), ("rest_density", "rest_density"),
                        ("stiffness", "stiffness"),
@@ -73,6 +99,24 @@ def _build_scene(args):
 
 
 def cmd_run(args) -> int:
+    import contextlib
+
+    import jax
+    from .. import FluidSim
+    from ..ops import render
+    from . import checkpoint, metrics, profiling
+
+    ctx = (profiling.trace(args.profile_dir) if args.profile_dir
+           else contextlib.nullcontext())
+    with ctx:
+        rc = _run_body(args)
+    if args.profile_dir:
+        print(f"profiler trace -> {args.profile_dir} "
+              f"(TensorBoard / Perfetto)")
+    return rc
+
+
+def _run_body(args) -> int:
     import jax
     from .. import FluidSim
     from ..ops import render
@@ -161,9 +205,22 @@ def cmd_run(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import contextlib
+
     from ..models import solver
     from . import profiling
 
+    ctx = (profiling.trace(args.profile_dir) if args.profile_dir
+           else contextlib.nullcontext())
+    with ctx:
+        rc = _bench_body(args, solver, profiling)
+    if args.profile_dir:
+        print(f"profiler trace -> {args.profile_dir} "
+              f"(TensorBoard / Perfetto)", file=sys.stderr)
+    return rc
+
+
+def _bench_body(args, solver, profiling) -> int:
     params, state = _build_scene(args)
     if args.method == "native":
         # host CPU engine: plain wall clock (no device/tunnel latency to
@@ -245,12 +302,18 @@ def main(argv=None) -> int:
                         "in-scan (frames, N, dim); see --movie-every")
     p.add_argument("--movie-every", type=int, default=10,
                    help="record a movie frame every N steps")
+    p.add_argument("--profile-dir", default=None,
+                   help="wrap the run in a jax.profiler trace; dump to "
+                        "this dir (open in TensorBoard/Perfetto)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bench", help="benchmark one config")
     _add_scene_args(p)
     p.add_argument("--k1", type=int, default=2)
     p.add_argument("--k2", type=int, default=12)
+    p.add_argument("--profile-dir", default=None,
+                   help="wrap the bench in a jax.profiler trace; dump to "
+                        "this dir (open in TensorBoard/Perfetto)")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("render", help="render a checkpoint to PNG")

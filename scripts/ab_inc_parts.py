@@ -50,7 +50,8 @@ def main():
         f6, idp, lr = inc.consolidate(s.fields6, s.idp, flagp, arr,
                                       live_t, geom)
         return inc.IncState(fields6=f6, idp=idp,
-                            overflow=s.overflow + lost + lr)
+                            overflow=s.overflow + lost + lr,
+                            mig_overflow=s.mig_overflow)
 
     def sweeps_only(s):
         planes6 = pm.halo_x(s.fields6)
@@ -60,7 +61,8 @@ def main():
         rho_h = pm.halo_x(rho_p)
         new6 = pallas_sph.accel_planes(planes6, rho_h, occ_q, occ_s,
                                        params, geom, fuse_integrate=True)
-        return inc.IncState(fields6=new6, idp=s.idp, overflow=s.overflow)
+        return inc.IncState(fields6=new6, idp=s.idp, overflow=s.overflow,
+                            mig_overflow=s.mig_overflow)
 
     def full(s):
         return inc.step_planes(s, params, geom, m_cap)

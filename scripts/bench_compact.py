@@ -63,7 +63,20 @@ def main():
         return ((chs[0] + 1e-30 * fb,) + tuple(chs[1:]), fl)
 
     ms = slope_time(f, (tuple(channels), flags)) * 1e3
-    print(f"compact_flagged: {ms:.2f} ms", flush=True)
+    print(f"compact_flagged (7x1-ch): {ms:.2f} ms", flush=True)
+
+    # production form: the 6 pos/vel channels as ONE group (one strided
+    # DMA per tile) + id — the round-3 DMA-latency fix
+    g6 = jax.jit(jnp.stack)(channels[:6])
+
+    def fg(carry):
+        g, ch_id, fl = carry
+        vals, m = inc.compact_flagged([g, ch_id], fl, m_cap)
+        fb = vals[0, :8].sum() + m.astype(jnp.float32)
+        return (g + 1e-30 * fb, ch_id, fl)
+
+    ms = slope_time(fg, (g6, channels[6], flags)) * 1e3
+    print(f"compact_flagged (6-ch group + id): {ms:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

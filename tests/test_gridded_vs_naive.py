@@ -60,3 +60,38 @@ def test_gridded_handles_compression_without_overflow():
     sg = run(state, params, 150, method="gridded")
     assert int(sg.overflow) == 0
     assert np.all(np.isfinite(np.asarray(sg.pos)))
+
+
+def test_gridded_anisotropic_cells_match_naive():
+    """Per-axis binning cells (SimParams.cell_aniso): a finer-than-h x cell
+    widens the x stencil to ceil(h/cell_x) offsets and must find exactly
+    the same neighbor sets as the naive path.  (The pallas planes tier
+    rejects cell_x < h by design — BASELINE.md round-3 negative result.)"""
+    from gpufluidsimulator_tpu.ops import planes as pm
+
+    params, state = scenes.dam_break(n=1000, dim=2, jitter=0.3, seed=3)
+    dx = pm.lattice_dx(params)
+    pa = params.replace(cell_aniso=(dx, 2 * dx))
+    assert pa.x_halfwidth == 2
+    # density = the neighbor sets themselves: must match naive to fp noise
+    rho_n = naive.density_naive(state.pos, params)
+    _, _, rho_g, _, overflow = gridded.step_gridded(
+        state.pos, state.vel, pa)
+    assert int(overflow) == 0
+    assert _rel(rho_g, rho_n) < 1e-5
+    # short trajectory (the different stencil changes fp summation order,
+    # so long runs diverge at the chaos rate — see BASELINE.md chaos bound)
+    sn = run(state, params, 30, method="naive")
+    sg = run(state, pa, 30, method="gridded")
+    assert _rel(sg.pos, sn.pos) < 1e-4
+    assert int(sg.overflow) == 0
+
+
+def test_planes_tier_rejects_fine_x_cells():
+    from gpufluidsimulator_tpu.ops import planes as pm
+
+    params, _ = scenes.dam_break(n=500, dim=2)
+    dx = pm.lattice_dx(params)
+    pa = params.replace(cell_aniso=(dx, 2 * dx))
+    with pytest.raises(ValueError, match="halfwidth"):
+        pm.geometry(pa)

@@ -121,7 +121,7 @@ def test_incremental_rebin_matches_full_rebuild():
         ch[valid] = npos[ids_slot[valid].astype(int), d]
         f6[d] = ch
     s2 = inc.IncState(fields6=jnp.asarray(f6), idp=s.idp,
-                      overflow=s.overflow)
+                      overflow=s.overflow, mig_overflow=s.mig_overflow)
 
     _, _, flags = inc.detect_movers(s2.fields6, s2.idp, params, geom)
     n_moved = int(jnp.sum(flags))

@@ -77,19 +77,29 @@ def test_golden_frame_deterministic(tmp_path):
     assert ha == hb
 
 
-def test_golden_frame_committed():
-    """SURVEY.md §4.6: rasterizer output hashed against a committed golden
-    image (CPU backend; regenerate with the snippet in tests/golden/ if the
-    physics or renderer changes intentionally)."""
-    import os
+import pytest
+
+
+@pytest.mark.parametrize("name", ["dam_break_2d_400", "dam_break_3d_120",
+                                  "double_dam_obstacles_2d_200"])
+def test_golden_frame_committed(name):
+    """SURVEY.md §4.6: rasterizer output hashed against committed golden
+    images — 2D dam break, a 3D (camera-projected) dam break, and the
+    obstacle scene (VERDICT round 2 weak #7).  Regenerate intentionally
+    with tests/golden/regen.py (single source of truth for the recipes)."""
+    import sys
     from gpufluidsimulator_tpu import run
     golden_dir = os.path.join(os.path.dirname(__file__), "golden")
-    want = open(os.path.join(golden_dir,
-                             "dam_break_2d_400.sha256")).read().strip()
-    params, state = scenes.dam_break(n=1500, dim=2)
-    st = run(state, params, 400, method="naive")
+    sys.path.insert(0, golden_dir)
+    try:
+        from regen import GOLDENS
+    finally:
+        sys.path.remove(golden_dir)
+    want = open(os.path.join(golden_dir, f"{name}.sha256")).read().strip()
+    fn, kw, steps, rkw = GOLDENS[name]
+    params, state = fn(**kw)
+    st = run(state, params, steps, method="naive")
     img = render.tonemap(render.render_frame(st, params, width=256,
-                                             height=256))
+                                             height=256, **rkw))
     got = hashlib.sha256(img.tobytes()).hexdigest()
-    assert got == want, (
-        "rendered frame diverged from tests/golden/dam_break_2d_400.png")
+    assert got == want, f"frame diverged from tests/golden/{name}.png"
