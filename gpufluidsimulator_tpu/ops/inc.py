@@ -396,12 +396,21 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
 
     n_blocks = max_out // TILE
     p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE
-    # block b spans compact tiles [tfirst, tlast]
-    tfirst = jnp.maximum(
-        jnp.searchsorted(starts_c[1:], p0s, side="right"), 0).astype(jnp.int32)
+    # block b spans compact tiles [tfirst, tlast].  tlast clamps to the
+    # last LIVE tile, not nt-1: live tiles are a prefix of the compacted
+    # order, and for the block holding the tail of the mover run the
+    # unclamped searchsorted saturates past m_total — at sub-percent mover
+    # density that made the stitch DMA the ENTIRE (mostly dead) strips
+    # array for a few thousand movers (round 3; this was the real
+    # stage-compact cost at the 100-step bench operating point, not the
+    # per-tile copy chain).
+    last_live = jnp.maximum(n_live.astype(jnp.int32), 1) - 1
+    tfirst = jnp.minimum(jnp.maximum(
+        jnp.searchsorted(starts_c[1:], p0s, side="right"), 0),
+        last_live).astype(jnp.int32)
     tlast = jnp.clip(
         jnp.searchsorted(starts_c[1:], p0s + TILE - 1, side="right"),
-        0, nt - 1).astype(jnp.int32)
+        0, last_live).astype(jnp.int32)
     tlast = jnp.maximum(tlast, tfirst)
     flat = route.stitch(strips, starts_c, tfirst, tlast, n_blocks, None)
     return flat, jnp.minimum(m_total, max_out)

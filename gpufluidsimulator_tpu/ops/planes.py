@@ -323,18 +323,59 @@ def build_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
                       shifts=shifts, starts=starts, overflow=overflow)
 
 
-def occupancy_bounds(planes, params: SimParams, geom: PlaneGeom):
+def _occ_rowmax_kernel(x_ref, out_ref, *, k: int):
+    """One (z, x-tile) program: slot-validity count over K ranks + lane max
+    -> per-row max occupancy, broadcast over lanes (the host slices lane 0;
+    a (.., py) output block would need an illegal 1-sublane spec)."""
+    occ = jnp.zeros(x_ref.shape[-2:], jnp.float32)
+    for kk in range(k):
+        occ = occ + (x_ref[kk, 0, 0, :, :] < SENTINEL * 0.5).astype(
+            jnp.float32)
+    rm = jnp.max(occ, axis=-1, keepdims=True)
+    out_ref[0, 0, :, :] = jnp.broadcast_to(rm, occ.shape)
+
+
+def occ_rowmax(planes_x, geom: PlaneGeom, use_kernel=None):
+    """(K, pz, n_bx, py, 128) x-channel -> (pz, n_bx, py) i32 per-row max
+    occupancy.  Pallas one-pass: the XLA formulation (K*cells compare +
+    reduce + lane max) measured ~5x the HBM-traffic floor @1.2M
+    (scripts/bench_occ.py, round 3)."""
+    import jax
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if not use_kernel:
+        valid = planes_x < SENTINEL * 0.5
+        occ = jnp.sum(valid, axis=0, dtype=jnp.int32)
+        return jnp.max(occ, axis=-1)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+
+    out = pl.pallas_call(
+        functools.partial(_occ_rowmax_kernel, k=geom.k),
+        grid=(geom.pz, geom.n_bx),
+        in_specs=[pl.BlockSpec((geom.k, 1, 1, geom.py, LANES),
+                               lambda z, xo: (0, z, xo, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, geom.py, LANES),
+                               lambda z, xo: (z, xo, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
+    )(planes_x)
+    return out[..., 0].astype(jnp.int32)
+
+
+def occupancy_bounds(planes, params: SimParams, geom: PlaneGeom,
+                     use_kernel=None):
     """Per-block occupancy bounds from the (already halo'd) position planes.
 
     Runs AFTER any inter-device ghost exchange so the bounds account for
     ghost particles in the halo lanes.  Returns (occ_q, occ_s).
     """
-    k, cells = geom.k, geom.cells
-    valid = planes[FIELD_X] < SENTINEL * 0.5
-    occ = jnp.sum(valid.reshape(k, cells), axis=0, dtype=jnp.int32)
-    occ = occ.reshape(geom.pz, geom.n_bx, geom.py, LANES)
-    # max over x lanes -> (pz, n_bx, py); then block pooling with 1-row halo
-    rowmax = jnp.max(occ, axis=-1)
+    # per-row lane-max occupancy -> (pz, n_bx, py); then block pooling
+    rowmax = occ_rowmax(planes[FIELD_X], geom, use_kernel=use_kernel)
     nb = geom.n_by
     blk = rowmax.reshape(geom.pz, geom.n_bx, -1, ROWS_PER_BLOCK)
     blkmax = jnp.max(blk, axis=-1)                        # (pz, n_bx, nby+2)

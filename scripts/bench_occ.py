@@ -54,6 +54,15 @@ def main():
     ms = slope_time(f_halo, s0.fields6) * 1e3
     print(f"halo_x + occupancy_bounds: {ms:.3f} ms", flush=True)
 
+    def f_xla_only(p6):
+        occ_q, occ_s = pm.occupancy_bounds(p6, params, geom,
+                                           use_kernel=False)
+        return p6 + 1e-30 * (occ_q.ravel()[0] + occ_s.ravel()[0]
+                             ).astype(jnp.float32)
+
+    ms = slope_time(f_xla_only, s0.fields6) * 1e3
+    print(f"occupancy_bounds (forced XLA): {ms:.3f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
