@@ -155,7 +155,7 @@ def detect_movers(fields6, idp, params: SimParams, geom: PlaneGeom,
 # flagged compaction: plane slots -> compact particle rows (no gathers)
 # ---------------------------------------------------------------------------
 
-def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
+def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
                     group_sizes, rows_total: int, nt: int):
     """Compact the flagged slots of one routing tile into its particle run.
 
@@ -228,59 +228,86 @@ def _compact_kernel(tile_ids_ref, starts_ref, hot_ref, nlive_ref, *refs,
                 dma(i, buf, tid).wait()
 
             o = starts_ref[tc] % LANES
-            flag = scr[buf, n_ch, :, :]
-            flag = jnp.where(flag > 0.5, 1.0, 0.0)
+            cls = cls_ref[tc]
+
+            # class 0: SINGLE flagged slot (the dominant case at the
+            # 100-step-warm bench operating point: ~1.4k movers spread
+            # Poisson over ~1.8k routing tiles -> ~70% of live tiles hold
+            # exactly one).  Extraction degenerates to a masked full
+            # reduce per channel — no prefix sums, no butterfly stages;
+            # the tile cost drops to its DMA floor.  The output (one
+            # element at flat position o, i.e. row 0 lane o) is exactly
+            # what the general path produces for m_t == 1, so the choice
+            # is invisible downstream.  The class is computed host-side
+            # and PREFETCHED (the in-kernel-branch stall lesson, below).
+            @pl.when(cls == 0)
+            def _(o=o, j=j, buf=buf):
+                sel = scr[buf, n_ch, :, :] > 0.5
+                lane1 = lane[0:1]
+                for i in range(n_ch):
+                    v = jnp.sum(jnp.where(sel, scr[buf, i, :, :], 0.0))
+                    out_ref[0, j, i, 0:1, :] = jnp.where(
+                        lane1 == o, v, 0.0)
+                    out_ref[0, j, i, 1:, :] = jnp.zeros(
+                        (PAD_ROWS - 1, LANES), jnp.float32)
+
             # two-level compact (BASELINE.md stage-compact front): first
             # collapse each lane's flagged elements to its top rows with a
             # 6-stage sublane-axis butterfly, then run the flat network
             # over only the top STAGE_B rows — 10 stages on 1/8 of the
             # tile instead of 13 on all of it.  Tiles where some lane
             # holds > STAGE_B flags (fluid fronts aligned with the grid)
-            # fall back to the flat network over the full 64 rows; both
+            # fall back to the flat network over the full 64 rows; all
             # branches produce the same (lane-rank, lane) output order,
-            # so the choice is invisible downstream.  The hot-tile bit is
+            # so the choice is invisible downstream.  The tile class is
             # computed host-side and PREFETCHED — an in-kernel
             # jnp.max(counts) branch was measured at +0.4 ms (vector ->
             # scalar stall, the lax.cond lesson again).  The run then
             # lands at its lane offset with one dynamic flat-rotate;
             # elements wrapping past the body belong in the strip's 65th
             # row.
-            fields = [scr[buf, i, :, :] for i in range(n_ch)]
-            fields, flag, _ = route.compact_lanes(fields, flag, OUT_ROWS)
-            hot = hot_ref[tc]
+            @pl.when(cls != 0)
+            def _(o=o, j=j, buf=buf, cls=cls):
+                flag = scr[buf, n_ch, :, :]
+                flag = jnp.where(flag > 0.5, 1.0, 0.0)
+                fields = [scr[buf, i, :, :] for i in range(n_ch)]
+                fields, flag, _ = route.compact_lanes(fields, flag,
+                                                      OUT_ROWS)
 
-            @pl.when(hot == 0)
-            def _(fields=fields, flag=flag, o=o, j=j):
-                small = [f[:STAGE_B] for f in fields]
-                routed, _ = route.compact_tile(small, flag[:STAGE_B],
-                                               STAGE_B)
-                lane_s = lane[:STAGE_B]
-                for i in range(n_ch):
-                    a = pltpu.roll(routed[i], o, axis=1)
-                    hi = pltpu.roll(a, 1, axis=0)
-                    rot = jnp.where(lane_s < o, hi, a)
-                    body = jnp.where((row_[:STAGE_B] == 0)
-                                     & (lane_s < o), 0.0, rot)
-                    out_ref[0, j, i, :STAGE_B, :] = body
-                    # wrap row: the tail of the rotated run spills into
-                    # row STAGE_B; rows past it are zero (the run is at
-                    # most STAGE_B*128 long + o < 128 offset)
-                    out_ref[0, j, i, STAGE_B:STAGE_B + 1, :] = jnp.where(
-                        lane_s < o, a, 0.0)[STAGE_B - 1:STAGE_B, :]
-                    out_ref[0, j, i, STAGE_B + 1:, :] = jnp.zeros(
-                        (PAD_ROWS - STAGE_B - 1, LANES), jnp.float32)
+                @pl.when(cls == 1)
+                def _(fields=fields, flag=flag, o=o, j=j):
+                    small = [f[:STAGE_B] for f in fields]
+                    routed, _ = route.compact_tile(small, flag[:STAGE_B],
+                                                   STAGE_B)
+                    lane_s = lane[:STAGE_B]
+                    for i in range(n_ch):
+                        a = pltpu.roll(routed[i], o, axis=1)
+                        hi = pltpu.roll(a, 1, axis=0)
+                        rot = jnp.where(lane_s < o, hi, a)
+                        body = jnp.where((row_[:STAGE_B] == 0)
+                                         & (lane_s < o), 0.0, rot)
+                        out_ref[0, j, i, :STAGE_B, :] = body
+                        # wrap row: the tail of the rotated run spills into
+                        # row STAGE_B; rows past it are zero (the run is at
+                        # most STAGE_B*128 long + o < 128 offset)
+                        out_ref[0, j, i, STAGE_B:STAGE_B + 1, :] = \
+                            jnp.where(lane_s < o, a,
+                                      0.0)[STAGE_B - 1:STAGE_B, :]
+                        out_ref[0, j, i, STAGE_B + 1:, :] = jnp.zeros(
+                            (PAD_ROWS - STAGE_B - 1, LANES), jnp.float32)
 
-            @pl.when(hot != 0)
-            def _(fields=fields, flag=flag, o=o, j=j):
-                routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
-                for i in range(n_ch):
-                    a = pltpu.roll(routed[i], o, axis=1)
-                    hi = pltpu.roll(a, 1, axis=0)
-                    rot = jnp.where(lane < o, hi, a)  # flat-rotate by +o
-                    body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
-                    out_ref[0, j, i, :OUT_ROWS, :] = body
-                    out_ref[0, j, i, OUT_ROWS:, :] = jnp.where(
-                        lane < o, rot, 0.0)[0:1, :]
+                @pl.when(cls == 2)
+                def _(fields=fields, flag=flag, o=o, j=j):
+                    routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
+                    for i in range(n_ch):
+                        a = pltpu.roll(routed[i], o, axis=1)
+                        hi = pltpu.roll(a, 1, axis=0)
+                        rot = jnp.where(lane < o, hi, a)  # flat-rotate +o
+                        body = jnp.where((row_ == 0) & (lane < o), 0.0,
+                                         rot)
+                        out_ref[0, j, i, :OUT_ROWS, :] = body
+                        out_ref[0, j, i, OUT_ROWS:, :] = jnp.where(
+                            lane < o, rot, 0.0)[0:1, :]
 
 
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
@@ -340,11 +367,14 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     # otherwise DMA hundreds of empty strips per output block)
     order = jnp.argsort(~nonempty, stable=True)
     tile_ids = order.astype(jnp.int32)
-    # hot tile = some lane holds > STAGE_B flags: the kernel's cheap
-    # two-level path would overflow its STAGE_B-row space, so it falls
-    # back to the full 64-row flat network there (same output order)
-    hot = (jnp.max(lane_cnt, axis=1) > STAGE_B).astype(jnp.int32)
-    hot_c = hot[order]
+    # tile class: 0 = single flagged slot (masked-reduce fast path),
+    # 1 = cold (two-level STAGE_B compact), 2 = hot (some lane holds
+    # > STAGE_B flags — the cheap path would overflow its STAGE_B-row
+    # space, so fall back to the full 64-row flat network).  All three
+    # produce the same output order.
+    hot = jnp.max(lane_cnt, axis=1) > STAGE_B
+    cls = jnp.where(hot, 2, jnp.where(counts == 1, 0, 1)).astype(jnp.int32)
+    cls_c = cls[order]
     counts_c = jnp.where(jnp.arange(nt) < n_live, counts[order], 0)
     starts_c = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
@@ -358,7 +388,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     n_g = len(group_sizes)
     nb = -(-nt // COMPACT_BATCH)
 
-    def omap(b, tids_ref, starts_ref, hot_ref, nlive_ref):
+    def omap(b, tids_ref, starts_ref, cls_ref, nlive_ref):
         # all-empty batches (the compacted tail) share ONE dummy out
         # block: Pallas copies every visited out block back to HBM
         # whether written or not, and at 2.3% mover density many tile
@@ -387,7 +417,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
         out_shape=jax.ShapeDtypeStruct(
             (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_ids, starts_c, hot_c, n_live.reshape(1), *flat_g)
+    )(tile_ids, starts_c, cls_c, n_live.reshape(1), *flat_g)
     # flatten batches back to per-tile strips; the dummy batch rides along
     # at the tail — stitch spans [tfirst, tlast] from starts_c, all < nt,
     # so it never reads it (slicing it off would materialize a copy)
@@ -434,50 +464,86 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     or the M capacity).
     """
     max_out = movers.shape[1]
-    jdx = jnp.arange(max_out, dtype=jnp.int32)
-    if live is None:
-        live = jdx < m
     cells = geom.cells
     gk = geom._replace(k=ARRIVAL_K)
-
-    pos = jnp.stack([movers[0], movers[1], movers[2]], axis=-1)
-    cid = pm.cell_linear_parts(pos, params, geom, x_origin)
-    cid = jnp.where(live, cid, cells)
-    # sort #1 (movers only): by target cell, all fields carried
-    out = jax.lax.sort((cid,) + tuple(movers[i] for i in range(7)),
-                       num_keys=1, is_stable=False)
-    cid_s = out[0]
-    run_start = jnp.concatenate([
-        jnp.zeros((1,), jnp.int32),
-        jnp.where(cid_s[1:] != cid_s[:-1], jdx[1:], 0)])
-    dup = jdx - jax.lax.cummax(run_start)
-    ok = (dup < ARRIVAL_K) & (cid_s < cells)
-    dropped = jnp.sum((cid_s < cells) & ~ok).astype(jnp.int32)
-    slot = jnp.where(ok, dup * cells + cid_s, ARRIVAL_K * cells)
-    # sort #2 (movers only): by rank-major arrival slot -> monotone placement
-    out2 = jax.lax.sort((slot,) + out[1:], num_keys=1, is_stable=False)
-    slot_s = out2[0]
-
-    rows = route.pad_rows(max_out)
-    pad_len = rows * LANES - max_out
-
-    def pad2d(a, fill):
-        return jnp.pad(a, (0, pad_len),
-                       constant_values=fill).reshape(rows, LANES)
-
-    fields2d = [pad2d(c, 0.0) for c in out2[1:]]
-    slot2d = pad2d(slot_s, ARRIVAL_K * cells + route.LOCAL)
     nt_a = route.n_tiles(gk)
-    bases = jnp.arange(nt_a + 1, dtype=jnp.int32) * TILE
-    starts = jnp.searchsorted(slot_s, bases).astype(jnp.int32)
-    # flat-tile skip-empty form: at ~2% arrival occupancy, filling and
-    # copying the full (7, A_K, cells) stack costs ~1.5 ms of pure HBM
-    # traffic for ~40k particles of payload; empty tiles now hold garbage
-    # behind the dummy block and consolidate gates its reads by ``live``
-    stack = route.place(fields2d, slot2d, starts, gk, n_pos=3,
-                        with_shift=False, skip_empty=True)
-    live = (starts[1:] > starts[:-1]).astype(jnp.int32)     # (nt_a,)
-    return stack, live, dropped
+
+    def impl(mv, live_mask):
+        cap = mv.shape[1]
+        jdx = jnp.arange(cap, dtype=jnp.int32)
+        pos = jnp.stack([mv[0], mv[1], mv[2]], axis=-1)
+        cid = pm.cell_linear_parts(pos, params, geom, x_origin)
+        cid = jnp.where(live_mask, cid, cells)
+        # sort #1 (movers only): by target cell, all fields carried
+        out = jax.lax.sort((cid,) + tuple(mv[i] for i in range(7)),
+                           num_keys=1, is_stable=False)
+        cid_s = out[0]
+        run_start = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.where(cid_s[1:] != cid_s[:-1], jdx[1:], 0)])
+        dup = jdx - jax.lax.cummax(run_start)
+        ok = (dup < ARRIVAL_K) & (cid_s < cells)
+        dropped = jnp.sum((cid_s < cells) & ~ok).astype(jnp.int32)
+        slot = jnp.where(ok, dup * cells + cid_s, ARRIVAL_K * cells)
+        # sort #2 (movers only): by rank-major arrival slot -> monotone
+        # placement
+        out2 = jax.lax.sort((slot,) + out[1:], num_keys=1, is_stable=False)
+        slot_s = out2[0]
+
+        rows = route.pad_rows(cap)
+        pad_len = rows * LANES - cap
+
+        def pad2d(a, fill):
+            return jnp.pad(a, (0, pad_len),
+                           constant_values=fill).reshape(rows, LANES)
+
+        fields2d = [pad2d(c, 0.0) for c in out2[1:]]
+        slot2d = pad2d(slot_s, ARRIVAL_K * cells + route.LOCAL)
+        bases = jnp.arange(nt_a + 1, dtype=jnp.int32) * TILE
+        starts = jnp.searchsorted(slot_s, bases).astype(jnp.int32)
+        # flat-tile skip-empty form: at ~2% arrival occupancy, filling and
+        # copying the full (7, A_K, cells) stack costs ~1.5 ms of pure HBM
+        # traffic for ~40k particles of payload; empty tiles now hold
+        # garbage behind the dummy block and consolidate gates its reads
+        # by ``live``
+        stack = route.place(fields2d, slot2d, starts, gk, n_pos=3,
+                            with_shift=False, skip_empty=True)
+        live_t = (starts[1:] > starts[:-1]).astype(jnp.int32)   # (nt_a,)
+        return stack, live_t, dropped
+
+    if live is not None:
+        # sharded path: ICI-received movers merge into the tail, so
+        # liveness is NOT a prefix — no tier slicing possible
+        return impl(movers, live)
+
+    # single-chip path: liveness IS a prefix (compact_flagged output), so
+    # when the mover count fits a smaller prefix, run the whole pipeline
+    # — including the two 8-operand sorts that dominate this phase — over
+    # that prefix only.  At the 100-step-warm bench operating point ~1.4k
+    # movers ride in a 155k-row space; the m_cap/8 tier cuts the sort
+    # volume 8x.  Output shapes are cap-independent (the arrival stack is
+    # sized by the cell space), so the tiers select with lax.cond — one
+    # COARSE branch around the phase, not the per-stage cond that
+    # measured +6 ms (BASELINE.md negative results).
+    tiers = []
+    for div in (8, 2):
+        cap = -(-max_out // (div * TILE)) * TILE
+        if TILE <= cap < max_out and cap not in tiers:
+            tiers.append(cap)
+
+    def prefix_fn(cap):
+        def f(mv):
+            return impl(mv[:, :cap],
+                        jnp.arange(cap, dtype=jnp.int32) < m)
+        return f
+
+    branch = prefix_fn(max_out)
+    for cap in reversed(tiers):
+        branch = functools.partial(
+            lambda cap, inner, mv: jax.lax.cond(
+                m <= cap, prefix_fn(cap), inner, mv),
+            cap, branch)
+    return branch(movers)
 
 
 def _consolidate_kernel(tidx_ref, occ_ref, new6_ref, idp_ref, flag_ref,
@@ -717,7 +783,13 @@ def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
     slots never exceed the particle count).
     """
     valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
-    channels = [state.fields6, state.idp]      # 6-ch group + id
+    # UNGROUPED channels: the strided multi-channel group DMA measured
+    # SLOWER than separate per-channel copies at both mover densities
+    # (scripts/bench_compact.py round 3: 3.41 vs 2.33 ms @1e-4 slot
+    # density, 6.25 vs 5.50 @1.3e-3) — the huge inter-channel stride
+    # defeats the DMA engine; per-copy issue latency is hidden by the
+    # COMPACT_DEPTH ring.
+    channels = [state.fields6[i] for i in range(6)] + [state.idp]
     if params.diagnostics:
         from .pallas_sph import density_planes
         halo6 = pm.halo_x(state.fields6)
@@ -733,7 +805,7 @@ def to_flat_lite(state: IncState, geom: PlaneGeom, n: int):
     extraction for movie rollouts (SURVEY.md §3.3 render-frame stack).
     Same two-level tile order as to_flat; order is set-valued per frame."""
     valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
-    channels = [state.fields6[:3], state.idp]  # 3-ch pos group + id
+    channels = [state.fields6[i] for i in range(3)] + [state.idp]
     return compact_flagged(channels, valid, _round_tile(n))
 
 
@@ -756,7 +828,8 @@ def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int):
     """
     flags = (flagp > 0.5) & interior_mask(geom)[None]
     staged_total = jnp.sum(flags).astype(jnp.int32)
-    channels = [new6, idp]                     # 6-ch group + id
+    # ungrouped: see to_flat — the strided group DMA measured slower
+    channels = [new6[i] for i in range(6)] + [idp]
     movers, m = compact_flagged(channels, flags, m_cap)
     return movers, m, staged_total
 

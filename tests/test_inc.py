@@ -95,6 +95,72 @@ def test_compact_flagged_hot_lane_fallback():
                                   np.asarray(v_kern)[:, :m])
 
 
+def test_compact_flagged_single_flag_fast_path():
+    """Tiles holding exactly ONE flagged slot take the masked-reduce fast
+    path (cls == 0); host/kernel parity must hold through it, including
+    tiles whose single flag sits at an awkward lane/row and tiles mixing
+    classes within one COMPACT_BATCH."""
+    params, state = _scene(n=500)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    flat_v = valid.reshape(-1)
+    nt = flat_v.shape[0] // inc.TILE
+    fl = np.zeros_like(flat_v)
+    rng = np.random.default_rng(7)
+    for t in range(nt):
+        cand = np.nonzero(flat_v[t * inc.TILE:(t + 1) * inc.TILE])[0]
+        if cand.size == 0:
+            continue
+        if t % 3 == 0:          # single-flag tile -> cls 0
+            fl[t * inc.TILE + rng.choice(cand)] = True
+        elif t % 3 == 1:        # multi-flag tile -> cls 1
+            k = min(5, cand.size)
+            fl[t * inc.TILE + rng.choice(cand, size=k, replace=False)] = True
+        # t % 3 == 2: empty tile
+    flags = jnp.asarray(fl.reshape(valid.shape))
+    channels = [s.fields6, s.idp]      # production 6-ch group + id form
+    cap = inc._round_tile(state.n)
+    v_host, m_host = inc.compact_flagged(channels, flags, cap,
+                                         use_kernel=False)
+    v_kern, m_kern = inc.compact_flagged(channels, flags, cap,
+                                         use_kernel=True)
+    assert int(m_host) == int(m_kern) == int(fl.sum())
+    m = int(m_host)
+    np.testing.assert_array_equal(np.asarray(v_host)[:, :m],
+                                  np.asarray(v_kern)[:, :m])
+
+
+def test_arrival_planes_tier_equivalence():
+    """The small-prefix arrival tiers (lax.cond over the mover count) must
+    produce the same arrival stack as the full-space path on live tiles."""
+    params, _ = _scene(n=500)
+    geom = pm.geometry(params)
+    max_out = 4 * inc.TILE              # tiers at TILE and 2*TILE
+    rng = np.random.default_rng(11)
+    m = 37
+    mv = np.zeros((7, max_out), np.float32)
+    lo = np.asarray(params.bounds_min, np.float32)
+    hi = np.asarray(params.bounds_max, np.float32)
+    for d in range(params.dim):
+        mv[d, :m] = rng.uniform(lo[d], hi[d], size=m)
+    mv[3:6, :m] = rng.normal(size=(3, m)).astype(np.float32)
+    mv[6, :m] = np.arange(m, dtype=np.float32)
+    movers = jnp.asarray(mv)
+    mj = jnp.int32(m)
+    # full path forced via an explicit live mask (the sharded entry)
+    st_f, live_f, drop_f = inc.arrival_planes(
+        movers, mj, params, geom,
+        live=jnp.arange(max_out, dtype=jnp.int32) < mj)
+    st_t, live_t, drop_t = inc.arrival_planes(movers, mj, params, geom)
+    np.testing.assert_array_equal(np.asarray(live_f), np.asarray(live_t))
+    assert int(drop_f) == int(drop_t)
+    lt = np.asarray(live_f).astype(bool)
+    np.testing.assert_array_equal(np.asarray(st_f)[:, :-1][:, lt],
+                                  np.asarray(st_t)[:, :-1][:, lt])
+
+
 def test_incremental_rebin_matches_full_rebuild():
     """Perturb positions, rebin incrementally, compare per-cell id sets with
     a from-scratch build_planes of the same positions."""
