@@ -6,9 +6,21 @@ Headline metric (BASELINE.json): particle-steps/sec/chip at 1M SPH particles,
 north_star (see BASELINE.md §roofline for why that target exceeds the v5e
 VPU roofline for this algorithm).
 
-Timing uses the slope method (utils/profiling.py): the axon tunnel adds
-~30ms per host sync and block_until_ready does not fence reliably, so we
-difference two scan lengths with forced scalar pulls.
+TWO operating points are measured and reported (VERDICT round 3 #3 — the
+mover density, and with it the cost of the incremental path's bookkeeping
+phases, depends strongly on how evolved the flow is):
+
+  * ``early``   — 100 warm steps: mover density ~0.1-0.2%, stage-compact
+    near its latency floor.  The incremental path's BEST case.
+  * ``evolved`` — 2000 warm steps: the dam has broken and the flow is
+    churning (~1-2.3% movers) — the PRODUCTION operating point.
+
+The headline ``value`` is the EVOLVED rate.  Timing uses the slope method
+(utils/profiling.py): the axon tunnel adds ~30ms per host sync and
+block_until_ready does not fence reliably, so we difference two scan
+lengths with forced scalar pulls; the window here (k1=3, k2=15, reps=4)
+is wider than the exploratory scripts' to keep the artifact of record
+inside ~1-2% timing noise on this single-core host.
 """
 
 from __future__ import annotations
@@ -20,6 +32,8 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_TARGET = 1.0e9  # particle-steps/sec/chip @1M (BASELINE.json)
+WARM_EARLY = 100
+WARM_EVOLVED = 2000
 
 
 def main() -> None:
@@ -27,7 +41,6 @@ def main() -> None:
     _enable_cache()
     import jax
     from gpufluidsimulator_tpu import scenes
-    from gpufluidsimulator_tpu.models import solver
     from gpufluidsimulator_tpu.ops import inc
     from gpufluidsimulator_tpu.ops import planes as pm
     from gpufluidsimulator_tpu.utils.profiling import slope_time
@@ -36,27 +49,42 @@ def main() -> None:
 
     params, state = scenes.double_dam_break(n=1_000_000, dim=3)
     params = params.replace(diagnostics=False)
-    # measure the evolved flow, not the degenerate rest lattice: warm up a
-    # few hundred steps so cell occupancies reflect production conditions
-    state = run(state, params, 100, method="pallas")
-    jax.block_until_ready(state.pos)
-    # production stepping is the incremental (planes-resident) pipeline:
-    # the plane stack is the carried state, movers-only rebinning
-    # (verified: overflow == 0 over 500 steps at this config, and
-    # end states match the full-rebuild path — tests/test_inc.py)
     geom = pm.geometry(params)
     m_cap = inc.mover_capacity(state.n)
-    s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
-    t = slope_time(lambda s: inc.step_planes(s, params, geom, m_cap),
-                   s0, k1=2, k2=10, reps=3)
-    value = state.n / t
+
+    def rate_at(state):
+        """Production stepping is the incremental (planes-resident)
+        pipeline: the plane stack is the carried state, movers-only
+        rebinning (verified: overflow == 0 over 5000-step soaks at this
+        config, and end states match the full-rebuild path —
+        tests/test_inc.py, scripts/soak.py)."""
+        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+        t = slope_time(lambda s: inc.step_planes(s, params, geom, m_cap),
+                       s0, k1=3, k2=15, reps=4)
+        return state.n / t
+
+    # early operating point: 100 warm steps off the rest lattice
+    state = run(state, params, WARM_EARLY, method="pallas")
+    jax.block_until_ready(state.pos)
+    early = rate_at(state)
+
+    # evolved operating point: continue on the production (planes-resident)
+    # pipeline to 2000 total steps — churning flow, production mover density
+    state = run(state, params, WARM_EVOLVED - WARM_EARLY,
+                method="pallas_inc")
+    jax.block_until_ready(state.pos)
+    evolved = rate_at(state)
 
     print(json.dumps({
-        "metric":
-            "particle-steps/sec/chip @1M 3D double-dam-break (pallas_inc)",
-        "value": value,
+        "metric": ("particle-steps/sec/chip @1M 3D double-dam-break "
+                   "(pallas_inc, evolved 2000 steps)"),
+        "value": evolved,
         "unit": "particle-steps/s",
-        "vs_baseline": value / BASELINE_TARGET,
+        "vs_baseline": evolved / BASELINE_TARGET,
+        "operating_points": {
+            "early": {"warm_steps": WARM_EARLY, "value": early},
+            "evolved": {"warm_steps": WARM_EVOLVED, "value": evolved},
+        },
     }))
 
 

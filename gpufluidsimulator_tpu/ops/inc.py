@@ -55,6 +55,13 @@ ARRIVAL_K = 8          # K'': max same-cell arrivals routed per step.  Set
 # same-cell arrivals in one step: measured 271 lost particles over 500
 # steps @1M 3D double dam break, where the full rebuild loses none.)
 
+RESUM_EVERY = 64       # continuity tier: steps between summation-density
+# re-syncs.  The continuity form integrates drho/dt = sum m (vi-vj).gradW
+# explicitly, which drifts O(dt * div-v error) per step from the summation
+# density the EOS was calibrated against; a full poly6 re-summation every
+# RESUM_EVERY steps pins the drift (amortized cost: one density sweep /
+# 64 steps ~ 0.1 ms @1.2M).
+
 
 def mover_capacity(n: int) -> int:
     """Static mover-array capacity: N/8, at least one routing tile, rounded
@@ -75,6 +82,11 @@ class IncState(NamedTuple):
     #                          overflow and ICI capacity misses stay
     #                          independently observable, mirroring
     #                          parallel.sharded.run_sharded
+    rhop: jnp.ndarray = None   # continuity tier only: carried density
+    #                          plane (K, pz, n_bx, py, 128); None on the
+    #                          summation-density path
+    age: jnp.ndarray = None    # continuity tier only: () i32 step counter
+    #                          driving the RESUM_EVERY re-summation cadence
 
     @property
     def geom_shape(self):
@@ -165,13 +177,14 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
     block).  Channel refs arrive as GROUPS: a (rows_total, 128) single
     channel, or a (g, rows_total, 128) multi-channel stack whose g
     channels ride ONE strided DMA (dims (g, 64, 128) — middle dim a
-    sublane multiple, the known-safe form).  Grouping is the round-3 fix
-    for the measured DMA-LATENCY bound: the 9 per-channel copies cost
-    ~2.5 us of descriptor/HBM latency each against ~0.45 us of transfer
-    (scripts/bench_compact.py, round 2) — the production caller now
-    issues 3 copies per tile (6-channel pos/vel group + id + flag).
-    DMA ring-buffered at tile granularity across sub-tiles AND across
-    programs with COMPACT_DEPTH-1 tiles of lead.
+    sublane multiple, the known-safe form).  Grouping remains SUPPORTED
+    but the production callers pass ungrouped per-channel copies: the
+    strided group DMA measured SLOWER at real mover densities
+    (scripts/bench_compact.py round 3 — the huge inter-channel HBM
+    stride defeats the DMA engine), and per-copy issue latency hides
+    behind the COMPACT_DEPTH ring (see to_flat).  DMA ring-buffered at
+    tile granularity across sub-tiles AND across programs with
+    COMPACT_DEPTH-1 tiles of lead.
     """
     b = pl.program_id(0)
 
@@ -316,9 +329,10 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     channels: list of f32 arrays — each either a single channel (shape ==
     flags.shape) or a GROUP (leading dim = channel count, rest ==
     flags.shape).  A group's channels ride one strided DMA per tile in
-    the kernel (round 3: the per-tile copy chain was DMA-latency-bound at
-    9 copies; the production callers pass the (6, ...) pos/vel plane
-    stack as one group -> 3 copies/tile).  flags: bool array.  Returns
+    the kernel; grouping stays supported (and tested) but the production
+    callers pass UNGROUPED channels — the strided group DMA measured
+    slower at real mover densities (scripts/bench_compact.py round 3;
+    see the to_flat comment).  flags: bool array.  Returns
     (vals (C, max_out), count ()) — slots beyond ``max_out`` are dropped
     (caller counts).  Output order is the deterministic two-level tile
     order: tiles in slot order, and within a tile (lane-rank, lane)-major

@@ -95,11 +95,15 @@ def test_compact_flagged_hot_lane_fallback():
                                   np.asarray(v_kern)[:, :m])
 
 
-def test_compact_flagged_single_flag_fast_path():
+@pytest.mark.parametrize("grouped", [True, False])
+def test_compact_flagged_single_flag_fast_path(grouped):
     """Tiles holding exactly ONE flagged slot take the masked-reduce fast
     path (cls == 0); host/kernel parity must hold through it, including
     tiles whose single flag sits at an awkward lane/row and tiles mixing
-    classes within one COMPACT_BATCH."""
+    classes within one COMPACT_BATCH.  Parametrized over both channel
+    forms: the grouped (6, ...) stack (supported, tested here) and the
+    ungrouped per-channel list the production callers use (the strided
+    group DMA measured slower — see inc.to_flat)."""
     params, state = _scene(n=500)
     geom = pm.geometry(params)
     s = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
@@ -120,7 +124,10 @@ def test_compact_flagged_single_flag_fast_path():
             fl[t * inc.TILE + rng.choice(cand, size=k, replace=False)] = True
         # t % 3 == 2: empty tile
     flags = jnp.asarray(fl.reshape(valid.shape))
-    channels = [s.fields6, s.idp]      # production 6-ch group + id form
+    if grouped:
+        channels = [s.fields6, s.idp]              # 6-ch group + id
+    else:
+        channels = [s.fields6[i] for i in range(6)] + [s.idp]
     cap = inc._round_tile(state.n)
     v_host, m_host = inc.compact_flagged(channels, flags, cap,
                                          use_kernel=False)
@@ -132,19 +139,27 @@ def test_compact_flagged_single_flag_fast_path():
                                   np.asarray(v_kern)[:, :m])
 
 
-def test_arrival_planes_tier_equivalence():
+@pytest.mark.parametrize("m", [37, inc.TILE + 5, 2 * inc.TILE + 5])
+def test_arrival_planes_tier_equivalence(m):
     """The small-prefix arrival tiers (lax.cond over the mover count) must
-    produce the same arrival stack as the full-space path on live tiles."""
-    params, _ = _scene(n=500)
+    produce the same arrival stack as the full-space path on live tiles.
+    m parametrized so every cond branch of the tier ladder is exercised:
+    37 -> cap=TILE tier, TILE+5 -> cap=2*TILE tier, 2*TILE+5 -> the
+    full-space fallback.  Movers are placed one per DISTINCT cell: the two
+    mover sorts are UNSTABLE, so same-cell ties may legitimately resolve
+    differently between a prefix tier and the full path (in-cell rank
+    order is physically arbitrary, and at > ARRIVAL_K duplicates even the
+    surviving subset is tie-dependent) — distinct cells make the
+    comparison exact."""
+    params, _ = scenes.dam_break(n=10000, dim=2)
     geom = pm.geometry(params)
     max_out = 4 * inc.TILE              # tiers at TILE and 2*TILE
     rng = np.random.default_rng(11)
-    m = 37
+    assert geom.nx * geom.ny >= m, "scene grid too small for distinct cells"
+    sel = rng.choice(geom.nx * geom.ny, size=m, replace=False)
     mv = np.zeros((7, max_out), np.float32)
-    lo = np.asarray(params.bounds_min, np.float32)
-    hi = np.asarray(params.bounds_max, np.float32)
-    for d in range(params.dim):
-        mv[d, :m] = rng.uniform(lo[d], hi[d], size=m)
+    mv[0, :m] = (sel % geom.nx + 0.5) * params.cells_axis[0]
+    mv[1, :m] = (sel // geom.nx + 0.5) * params.cells_axis[1]
     mv[3:6, :m] = rng.normal(size=(3, m)).astype(np.float32)
     mv[6, :m] = np.arange(m, dtype=np.float32)
     movers = jnp.asarray(mv)
