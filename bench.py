@@ -52,13 +52,26 @@ def main() -> None:
     geom = pm.geometry(params)
     m_cap = inc.mover_capacity(state.n)
 
-    def rate_at(state):
+    def rate_at(state, continuity=False):
         """Production stepping is the incremental (planes-resident)
         pipeline: the plane stack is the carried state, movers-only
         rebinning (verified: overflow == 0 over 5000-step soaks at this
         config, and end states match the full-rebuild path —
-        tests/test_inc.py, scripts/soak.py)."""
-        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+        tests/test_inc.py, scripts/soak.py).  With ``continuity`` the
+        opt-in continuity-density tier is timed instead (age pinned off
+        the resum phase -> the steady-state rate; the amortized resum
+        cost is RESUM_EVERY-th of a density sweep, ~0.1 ms @1M)."""
+        import jax.numpy as jnp
+        from gpufluidsimulator_tpu.ops import pallas_sph
+        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom,
+                           continuity=continuity)
+        if continuity:
+            p6 = pm.halo_x(s0.fields6)
+            occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
+            s0 = s0._replace(
+                rhop=pallas_sph.density_planes(p6[:3], occ_q, occ_s,
+                                               params, geom),
+                age=jnp.int32(1))
         t = slope_time(lambda s: inc.step_planes(s, params, geom, m_cap),
                        s0, k1=3, k2=15, reps=4)
         return state.n / t
@@ -74,6 +87,11 @@ def main() -> None:
                 method="pallas_inc")
     jax.block_until_ready(state.pos)
     evolved = rate_at(state)
+    # opt-in continuity-density tier (no per-step density sweep;
+    # statistically validated, O(dt)-different formulation — BASELINE.md
+    # round-4 chapter): reported alongside, headline stays on the
+    # reference-faithful pipeline
+    evolved_cont = rate_at(state, continuity=True)
 
     print(json.dumps({
         "metric": ("particle-steps/sec/chip @1M 3D double-dam-break "
@@ -84,6 +102,8 @@ def main() -> None:
         "operating_points": {
             "early": {"warm_steps": WARM_EARLY, "value": early},
             "evolved": {"warm_steps": WARM_EVOLVED, "value": evolved},
+            "evolved_continuity_tier": {"warm_steps": WARM_EVOLVED,
+                                        "value": evolved_cont},
         },
     }))
 

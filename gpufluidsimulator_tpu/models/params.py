@@ -69,6 +69,39 @@ class SimParams:
     # --- observability: gather per-particle rho/pres each step (costs two
     # extra N-gathers; disable for pure-throughput runs) ---------------------
     diagnostics: bool = True
+    # --- continuity-density tier stabilizer (ops/inc.py continuity mode) ----
+    # Monaghan alpha artificial viscosity on APPROACHING pairs, applied only
+    # on the continuity tier.  Why it exists: the fused continuity update
+    # necessarily advances rho with the PRE-kick velocities (the post-kick
+    # ones of query+candidates don't exist until the same sweep finishes),
+    # which turns the symplectic acoustic update into FORWARD Euler —
+    # |G| = sqrt(1 + (w dt)^2) > 1, an unconditional pump of the
+    # shortest-wavelength modes (measured: KE x40 per 50 steps on the 2D
+    # dam break at full CFL).  The summation tiers don't need either
+    # stabilizer (their rho is a position functional) and stay
+    # reference-faithful.  alpha damps VELOCITY (measured: passes the
+    # statistical acceptance TV/COM easily but eats 4-8% of KE at
+    # alpha 0.5-1.0 — right at the 5% acceptance floor); delta diffuses
+    # the DENSITY field itself (delta-SPH, Antuono/Molteni), which
+    # stabilizes the same acoustic loop while leaving the resolved
+    # velocity field alone — preferred.  cont_delta needs viscosity > 0
+    # (1/rho_j is recovered from the viscosity window channel); it is
+    # statically disabled otherwise.
+    cont_alpha: float = 0.0
+    cont_delta: float = 0.0
+    # Deferred-correction pressure term (the principled continuity-tier
+    # stabilizer; strength 1.0 = the derived coefficient): the fused
+    # update's pressure necessarily lags the current compression by one
+    # step; adding the missing differential back as
+    #   delta-p_i = c^2 dt (drho_i/dt)
+    # in its pairwise-diagonal form restores det(G) = 1, |lambda| = 1 for
+    # omega*dt < 2 — symplectic-equivalent stability with ZERO numerical
+    # dissipation (unlike cont_alpha, which eats 4-8% of KE at the
+    # stabilizing strength, and cont_delta, whose uncorrected density
+    # diffusion flattens the hydrostatic gradient and blows up).  The
+    # pairwise form reuses the continuity accumulation's d2^2*dot product,
+    # so it costs ~2 VPU ops per pair.
+    cont_beta: float = 1.0
 
     # ------------------------------------------------------------------ utils
     def __post_init__(self):
@@ -99,6 +132,12 @@ class SimParams:
                     f"cell_aniso[0]={self.cell_aniso[0]} needs an x-stencil "
                     f"halfwidth {self.x_halfwidth} > 3 (VMEM/accumulator "
                     "budget caps it at 3)")
+
+    @property
+    def sound_speed(self) -> float:
+        """EOS sound speed at rest density: dp/drho(rho0) = stiffness for
+        BOTH the linear and the Tait form (Tait: B*gamma/rho0 = k)."""
+        return math.sqrt(self.stiffness)
 
     @property
     def cell(self) -> float:

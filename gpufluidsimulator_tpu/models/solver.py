@@ -66,6 +66,16 @@ def _step_pallas_inc(state: State, params: SimParams) -> State:
     return inc.run_inc(state, params, 1)
 
 
+@register_method("pallas_inc_cont")
+def _step_pallas_inc_cont(state: State, params: SimParams) -> State:
+    # continuity-density tier: the density sweep drops out of the step —
+    # rho rides in the planes and is integrated by the force kernel
+    # (ops/inc.py step_planes continuity mode; re-summed every
+    # RESUM_EVERY steps)
+    from ..ops import inc
+    return inc.run_inc(state, params, 1, continuity=True)
+
+
 def step(state: State, params: SimParams, method: str = "auto") -> State:
     """One SPH step. method: 'naive' | 'gridded' | 'pallas' | 'auto'."""
     return _METHODS[resolve_method(method, state.n)](state, params)
@@ -119,9 +129,10 @@ def run(state: State, params: SimParams, n_steps: int,
     method = resolve_method(method, state.n)
     if auto and method == "pallas" and n_steps >= 16 and state.n > 32768:
         method = "pallas_inc"
-    if method == "pallas_inc":
+    if method in ("pallas_inc", "pallas_inc_cont"):
         from ..ops import inc
-        return inc.run_inc(state, params, n_steps)
+        return inc.run_inc(state, params, n_steps,
+                           continuity=method == "pallas_inc_cont")
     return _run_scan(state, params, n_steps, method)
 
 
@@ -143,9 +154,10 @@ def rollout(state: State, params: SimParams, n_steps: int,
     method = resolve_method(method, state.n)
     if auto and method == "pallas" and n_steps >= 16 and state.n > 32768:
         method = "pallas_inc"
-    if method == "pallas_inc":
+    if method in ("pallas_inc", "pallas_inc_cont"):
         from ..ops import inc
-        return inc.rollout_inc(state, params, n_steps, record_every)
+        return inc.rollout_inc(state, params, n_steps, record_every,
+                               continuity=method == "pallas_inc_cont")
     return _rollout_scan(state, params, n_steps, method, record_every)
 
 

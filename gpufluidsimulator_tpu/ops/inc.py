@@ -468,15 +468,17 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
                    x_origin=None, live=None):
     """Route the compacted movers into ARRIVAL_K-rank arrival planes.
 
-    movers: (7, M) compacted mover rows (x,y,z,vx,vy,vz,id); m: live count
-    (or an explicit (M,) ``live`` mask — the sharded path merges ICI-received
-    movers into the tail, so liveness is not a prefix there).
-    Returns (flat-tile stack (7, nt_a+1, 64, 128) in place's skip-empty
+    movers: (nf, M) compacted mover rows (x,y,z,vx,vy,vz,id[,rho] — nf=7,
+    or 8 on the continuity tier); m: live count (or an explicit (M,)
+    ``live`` mask — the sharded path merges ICI-received movers into the
+    tail, so liveness is not a prefix there).
+    Returns (flat-tile stack (nf, nt_a+1, 64, 128) in place's skip-empty
     form — no shift channel, arrival planes are never un-placed, dead
     tiles hold garbage behind the dummy; tile liveness (nt_a,); and the
     count of arrivals dropped for exceeding ARRIVAL_K same-cell arrivals
     or the M capacity).
     """
+    nf = movers.shape[0]
     max_out = movers.shape[1]
     cells = geom.cells
     gk = geom._replace(k=ARRIVAL_K)
@@ -489,7 +491,7 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
         cid = pm.cell_linear_parts(pos, params, geom, x_origin)
         cid = jnp.where(live_mask, cid, cells)
         # sort #1 (movers only): by target cell, all fields carried
-        out = jax.lax.sort((cid,) + tuple(mv[i] for i in range(7)),
+        out = jax.lax.sort((cid,) + tuple(mv[i] for i in range(nf)),
                            num_keys=1, is_stable=False)
         cid_s = out[0]
         run_start = jnp.concatenate([
@@ -561,7 +563,7 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
 
 
 def _consolidate_kernel(tidx_ref, occ_ref, new6_ref, idp_ref, flag_ref,
-                        *rest, geom: PlaneGeom):
+                        *rest, geom: PlaneGeom, has_rho: bool = False):
     """Per-block rank compaction: kept (K ranks, movers flagged out) +
     arrival (ARRIVAL_K ranks) slots down to K dense ranks, in VMEM with
     static rank indexing.  (The XLA formulation of the same select-sum
@@ -572,11 +574,20 @@ def _consolidate_kernel(tidx_ref, occ_ref, new6_ref, idp_ref, flag_ref,
     skip-empty stack; dead (rank, tile) pairs were never written (their
     index maps all point at the dummy tile, fetched once), so every
     arrival read is gated by ``a < occ_ref[spatial tile]``.
+
+    ``has_rho``: the continuity tier's carried-density plane rides as an
+    8th per-slot field (input after flag, arrival channel 7, own output).
     """
     k = geom.k
     a_k = ARRIVAL_K
-    arrs = rest[:a_k]                      # (7, 1, 8, 128) views
-    out6_ref, oid_ref, drop_ref = rest[a_k:a_k + 3]
+    if has_rho:
+        rho_ref, rest = rest[0], rest[1:]
+    arrs = rest[:a_k]                      # (nf, 1, 8, 128) views
+    if has_rho:
+        out6_ref, oid_ref, orho_ref, drop_ref = rest[a_k:a_k + 4]
+    else:
+        out6_ref, oid_ref, drop_ref = rest[a_k:a_k + 3]
+    nf = 8 if has_rho else 7
     if geom.dim == 3:
         bz, bx, byb = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     else:
@@ -617,27 +628,32 @@ def _consolidate_kernel(tidx_ref, occ_ref, new6_ref, idp_ref, flag_ref,
         if i < k:
             if f < 6:
                 return new6_ref[f, i, 0, 0, :, :]
-            return idp_ref[i, 0, 0, :, :]
+            if f == 6:
+                return idp_ref[i, 0, 0, :, :]
+            return rho_ref[i, 0, 0, :, :]
         return arrs[i - k][f, 0, :, :]
 
     for r in range(k):
         sels = [valids[i] & (cnts[i] == r) for i in range(k + a_k)]
         got = total > r
-        for f in range(7):
+        for f in range(nf):
             acc = jnp.zeros(shape, jnp.float32)
             for i in range(k + a_k):
                 acc = acc + jnp.where(sels[i], src(f, i), 0.0)
-            fill = SENTINEL if f < 3 else (0.0 if f < 6 else -1.0)
+            fill = SENTINEL if f < 3 else (-1.0 if f == 6 else 0.0)
             val = jnp.where(got, acc, jnp.float32(fill))
             if f < 6:
                 out6_ref[f, r, 0, 0, :, :] = val
-            else:
+            elif f == 6:
                 oid_ref[r, 0, 0, :, :] = val
+            else:
+                orho_ref[r, 0, 0, :, :] = val
     drop = jnp.sum(jnp.maximum(total - k, 0).astype(jnp.float32))
     drop_ref[0, :, :] = jnp.where((row == 0) & (lane == 0), drop, 0.0)
 
 
-def consolidate_jnp(new6, idp, flagp, arrivals, geom: PlaneGeom):
+def consolidate_jnp(new6, idp, flagp, arrivals, geom: PlaneGeom,
+                    rhop=None):
     """jnp reference for _consolidate_kernel (CPU backend / tests)."""
     k = geom.k
     inter = interior_mask(geom)[None]
@@ -660,29 +676,37 @@ def consolidate_jnp(new6, idp, flagp, arrivals, geom: PlaneGeom):
         [compact(jnp.concatenate([new6[f], arrivals[f]], axis=0),
                  SENTINEL if f < 3 else 0.0) for f in range(6)], axis=0)
     idp_o = compact(jnp.concatenate([idp, arrivals[6]], axis=0), -1.0)
+    if rhop is not None:
+        rho_o = compact(jnp.concatenate([rhop, arrivals[7]], axis=0), 0.0)
+        return fields6, idp_o, rho_o, n_dropped
     return fields6, idp_o, n_dropped
 
 
 def consolidate(new6, idp, flagp, arr_flat, live, geom: PlaneGeom,
-                use_kernel=None):
+                use_kernel=None, rhop=None):
     """Per-cell rank compaction of kept (K ranks; this step's movers and all
     non-interior slots excluded) + arrival (ARRIVAL_K ranks) slots down to K
     dense ranks.  Heals rank gaps left by departures and re-sanitizes the
     force kernel's unwritten ghost blocks / stale halo lanes in the same
     pass.  ``arr_flat`` is arrival_planes' flat-tile skip-empty stack
-    (7, nt_a+1, 64, 128) with ``live`` (nt_a,) tile liveness — dead tiles
+    (nf, nt_a+1, 64, 128) with ``live`` (nt_a,) tile liveness — dead tiles
     hold garbage and are never fetched (their index maps share the dummy
-    tile, which Pallas fetches once).  Returns (fields6, idp, n_dropped).
+    tile, which Pallas fetches once).  Returns (fields6, idp, n_dropped),
+    or (fields6, idp, rho, n_dropped) when the continuity tier's carried
+    density plane ``rhop`` is given (nf = 8, rho = arrival channel 7).
     """
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     k, a_k = geom.k, ARRIVAL_K
+    has_rho = rhop is not None
+    nf = arr_flat.shape[0]
+    assert nf == (8 if has_rho else 7), (nf, has_rho)
     nt_a = arr_flat.shape[1] - 1
     tpr = nt_a // a_k
     if not use_kernel:
         dense = arr_flat[:, :nt_a].reshape(
-            7, a_k, geom.pz, geom.n_bx, geom.py, LANES)
-        return consolidate_jnp(new6, idp, flagp, dense, geom)
+            nf, a_k, geom.pz, geom.n_bx, geom.py, LANES)
+        return consolidate_jnp(new6, idp, flagp, dense, geom, rhop=rhop)
 
     # prefetch tables: per-(rank, spatial tile) block index (dummy when
     # dead) and per-spatial-tile arrival-rank bound.  Cell-level dup ranks
@@ -743,7 +767,13 @@ def consolidate(new6, idp, flagp, arr_flat, live, geom: PlaneGeom,
     n_blocks = geom.pz * geom.n_bx * (geom.py // ROWS_PER_BLOCK)
     blk6 = (6, k, 1, 1, ROWS_PER_BLOCK, LANES)
     blk1 = (k, 1, 1, ROWS_PER_BLOCK, LANES)
-    blka = (7, 1, ROWS_PER_BLOCK, LANES)
+    blka = (nf, 1, ROWS_PER_BLOCK, LANES)
+    rho_in = [pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM)] \
+        if has_rho else []
+    rho_out_spec = [pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM)] \
+        if has_rho else []
+    rho_out_shape = [jax.ShapeDtypeStruct(idp.shape, jnp.float32)] \
+        if has_rho else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -751,27 +781,35 @@ def consolidate(new6, idp, flagp, arr_flat, live, geom: PlaneGeom,
             pl.BlockSpec(blk6, idx6, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(blka, mk_arr(a), memory_space=pltpu.VMEM)
-             for a in range(a_k)],
+        ] + rho_in
+        + [pl.BlockSpec(blka, mk_arr(a), memory_space=pltpu.VMEM)
+           for a in range(a_k)],
         out_specs=[
             pl.BlockSpec(blk6, idx6, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk1, idx1, memory_space=pltpu.VMEM),
+        ] + rho_out_spec + [
             pl.BlockSpec((1, ROWS_PER_BLOCK, LANES), idxd,
                          memory_space=pltpu.VMEM),
         ],
     )
-    out6, oid, drop = pl.pallas_call(
-        functools.partial(_consolidate_kernel, geom=geom),
+    extra_in = [rhop] if has_rho else []
+    outs = pl.pallas_call(
+        functools.partial(_consolidate_kernel, geom=geom, has_rho=has_rho),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(new6.shape, jnp.float32),
             jax.ShapeDtypeStruct(idp.shape, jnp.float32),
+        ] + rho_out_shape + [
             jax.ShapeDtypeStruct((n_blocks, ROWS_PER_BLOCK, LANES),
                                  jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(tidx, occ_t, new6, idp, flagp, *([arr_flat] * a_k))
-    return out6, oid, jnp.sum(drop[:, 0, 0]).astype(jnp.int32)
+    )(tidx, occ_t, new6, idp, flagp, *extra_in, *([arr_flat] * a_k))
+    drop = outs[-1]
+    n_drop = jnp.sum(drop[:, 0, 0]).astype(jnp.int32)
+    if has_rho:
+        return outs[0], outs[1], outs[2], n_drop
+    return outs[0], outs[1], n_drop
 
 
 # ---------------------------------------------------------------------------
@@ -779,13 +817,22 @@ def consolidate(new6, idp, flagp, arr_flat, live, geom: PlaneGeom,
 # ---------------------------------------------------------------------------
 
 def to_planes(pos, vel, ids, params: SimParams, geom: PlaneGeom,
-              x_origin=None, active=None) -> IncState:
-    """Full rebuild (the build_planes path) producing the carried state."""
+              x_origin=None, active=None,
+              continuity: bool = False) -> IncState:
+    """Full rebuild (the build_planes path) producing the carried state.
+
+    ``continuity``: attach the carried-density fields of the continuity
+    tier.  rhop starts at zeros with age 0 — the first step's
+    age % RESUM_EVERY == 0 re-summation fills it before the EOS ever
+    reads it."""
     table = pm.build_planes(pos, vel, ids, params, geom, x_origin=x_origin,
                             with_ids=True, active=active)
     planes = table.planes
+    rhop = jnp.zeros_like(planes[6]) if continuity else None
+    age = jnp.int32(0) if continuity else None
     return IncState(fields6=planes[:6], idp=planes[6],
-                    overflow=table.overflow, mig_overflow=jnp.int32(0))
+                    overflow=table.overflow, mig_overflow=jnp.int32(0),
+                    rhop=rhop, age=age)
 
 
 def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
@@ -831,12 +878,16 @@ def _round_tile(n: int) -> int:
 # the incremental step
 # ---------------------------------------------------------------------------
 
-def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int):
+def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int,
+                   rhop=None):
     """Pull flagged movers straight out of the unblanked post-step planes.
 
     new6: (6, K, pz, n_bx, py, 128) post-step pos/vel planes; idp the carried
     id plane; flagp the force kernel's mover-flag plane (ghost blocks
-    garbage).  Returns ((7, m_cap) mover rows, live count, flagged total).
+    garbage).  Returns ((7, m_cap) mover rows, live count, flagged total)
+    — or (8, m_cap) with the continuity tier's post-step density plane
+    ``rhop`` riding as a trailing channel (id stays at index 6: the mover
+    liveness encoding of exchange_movers keys on it).
     The only dense work is the 1-channel flag mask + per-tile counts;
     compact_flagged's kernel then touches live tiles only.
     """
@@ -844,6 +895,8 @@ def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int):
     staged_total = jnp.sum(flags).astype(jnp.int32)
     # ungrouped: see to_flat — the strided group DMA measured slower
     channels = [new6[i] for i in range(6)] + [idp]
+    if rhop is not None:
+        channels.append(rhop)
     movers, m = compact_flagged(channels, flags, m_cap)
     return movers, m, staged_total
 
@@ -854,10 +907,12 @@ def exchange_movers(movers, m, x_origin, width, mig_cap: int, n_dev: int,
 
     The mover set IS the migration traffic under spatial sharding: only a
     particle that changed cell can have crossed a slab face, so the
-    per-step ICI payload is two fixed (7, mig_cap) buffers instead of the
-    full-path's particle-array repack (parallel/sharded.migrate).
-    Returns (merged (7, M + 2*mig_cap), live mask, n lost to mig_cap).
+    per-step ICI payload is two fixed (nf, mig_cap) buffers instead of the
+    full-path's particle-array repack (parallel/sharded.migrate).  nf = 7,
+    or 8 with the continuity tier's rho channel (id stays at index 6).
+    Returns (merged (nf, M + 2*mig_cap), live mask, n lost to mig_cap).
     """
+    nf = movers.shape[0]
     max_out = movers.shape[1]
     jdx = jnp.arange(max_out, dtype=jnp.int32)
     live = jdx < m
@@ -868,10 +923,10 @@ def exchange_movers(movers, m, x_origin, width, mig_cap: int, n_dev: int,
     # sort carries all fields (cheaper than argsort + gathers, BASELINE.md)
     key = (go_l.astype(jnp.int32) + 2 * go_r.astype(jnp.int32)
            + jnp.where(live, 0, 3))
-    out = jax.lax.sort((key,) + tuple(movers[i] for i in range(7)),
+    out = jax.lax.sort((key,) + tuple(movers[i] for i in range(nf)),
                        num_keys=1, is_stable=False)
     key_s = out[0]
-    rows = jnp.stack(out[1:], axis=0)                    # (7, M)
+    rows = jnp.stack(out[1:], axis=0)                    # (nf, M)
     n_stay = jnp.sum(key_s == 0)
     n_l = jnp.sum(key_s == 1)
     n_r = jnp.sum(key_s == 2)
@@ -923,14 +978,31 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
     ICI to the x neighbors via ``exchange_movers`` (their loss to
     ``mig_cap`` is counted into ``mig_overflow``, separately from the
     physics-capacity ``overflow``).
+
+    Continuity tier (``state.rhop is not None``): the density sweep is
+    SKIPPED — the EOS reads the carried rho plane, the force kernel
+    integrates drho/dt = sum m (vi-vj).gradW in the same pair loop
+    (pallas_sph continuity), movers carry rho as an 8th channel, and
+    every RESUM_EVERY steps a summation sweep re-syncs the carried
+    density (one coarse lax.cond around the sweep, the arrival-tier
+    pattern — per-stage runtime branching measured slower).
     """
     from .pallas_sph import density_planes, accel_planes
 
+    continuity = state.rhop is not None
     planes6 = pm.halo_x(state.fields6)
     if exchange is not None:
         planes6 = exchange(planes6, n_pos_fields=3)
     occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
-    rho_p = density_planes(planes6[:3], occ_q, occ_s, params, geom)
+    if continuity:
+        need = (state.age % RESUM_EVERY) == 0
+        rho_p = jax.lax.cond(
+            need,
+            lambda _: density_planes(planes6[:3], occ_q, occ_s, params,
+                                     geom),
+            lambda _: state.rhop, None)
+    else:
+        rho_p = density_planes(planes6[:3], occ_q, occ_s, params, geom)
     rho_h = pm.halo_x(rho_p)
     if exchange is not None:
         rho_h = exchange(rho_h[None], n_pos_fields=0)[0]
@@ -939,11 +1011,19 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
         width = jnp.float32(geom.nx * params.cell)
         x0 = jnp.asarray(x_origin, jnp.float32)
         slab = jnp.stack([x0, x0 + width])
-    new6, flagp = accel_planes(planes6, rho_h, occ_q, occ_s, params,
-                               geom, fuse_integrate=True, emit_movers=True,
-                               wall_params=wall_params, slab=slab)
+    if continuity:
+        new6, rho_new, flagp = accel_planes(
+            planes6, rho_h, occ_q, occ_s, params, geom,
+            fuse_integrate=True, emit_movers=True,
+            wall_params=wall_params, slab=slab, continuity=True)
+    else:
+        new6, flagp = accel_planes(planes6, rho_h, occ_q, occ_s, params,
+                                   geom, fuse_integrate=True,
+                                   emit_movers=True,
+                                   wall_params=wall_params, slab=slab)
+        rho_new = None
     movers, m, staged_total = extract_movers(new6, state.idp, flagp, geom,
-                                             m_cap)
+                                             m_cap, rhop=rho_new)
     live = None
     lost_ship = jnp.int32(0)
     if n_dev > 1:
@@ -952,21 +1032,29 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
             mig_cap, n_dev, axis)
     arr, live_t, lost_dup = arrival_planes(movers, m, params, geom,
                                            x_origin, live=live)
-    fields6, idp, lost_rank = consolidate(new6, state.idp, flagp, arr,
-                                          live_t, geom)
+    cons = consolidate(new6, state.idp, flagp, arr, live_t, geom,
+                       rhop=rho_new)
+    if continuity:
+        fields6, idp, rho_c, lost_rank = cons
+        age = state.age + 1
+    else:
+        fields6, idp, lost_rank = cons
+        rho_c, age = None, None
     overflow = state.overflow + (staged_total - m) + lost_dup + lost_rank
     return IncState(fields6=fields6, idp=idp, overflow=overflow,
-                    mig_overflow=state.mig_overflow + lost_ship)
+                    mig_overflow=state.mig_overflow + lost_ship,
+                    rhop=rho_c, age=age)
 
 
 # ---------------------------------------------------------------------------
 # flat-state entry points (solver registry / run)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("params", "n"))
-def _inc_convert_in(pos, vel, ids, overflow0, params: SimParams, n: int):
+@functools.partial(jax.jit, static_argnames=("params", "n", "continuity"))
+def _inc_convert_in(pos, vel, ids, overflow0, params: SimParams, n: int,
+                    continuity: bool = False):
     geom = pm.geometry(params)
-    state0 = to_planes(pos, vel, ids, params, geom)
+    state0 = to_planes(pos, vel, ids, params, geom, continuity=continuity)
     return state0._replace(overflow=state0.overflow + overflow0)
 
 
@@ -998,13 +1086,17 @@ def _inc_convert_out(state: IncState, params: SimParams, n: int):
 STEP_BUDGET_PER_PROGRAM = int(2e8)
 
 
-def run_inc(state, params: SimParams, n_steps: int, chunk: int = None):
+def run_inc(state, params: SimParams, n_steps: int, chunk: int = None,
+            continuity: bool = False):
     """models.State -> models.State after n_steps on the incremental path.
 
     One planes conversion per rollout; the scan is split into multiple
     device programs if it would exceed the worker's program-time budget.
     Slots lost to overflow (counted in ``state.overflow``) leave parked
     rows at the array tail (pos=bounds corner, vel=0, ids=-1).
+
+    ``continuity``: carry density in the planes and skip the per-step
+    summation sweep (see step_planes).
     """
     from ..models.state import State
 
@@ -1012,7 +1104,7 @@ def run_inc(state, params: SimParams, n_steps: int, chunk: int = None):
     if chunk is None:
         chunk = max(64, STEP_BUDGET_PER_PROGRAM // max(n, 1))
     s = _inc_convert_in(state.pos, state.vel, state.ids, state.overflow,
-                        params, n)
+                        params, n, continuity=continuity)
     done = 0
     while done < n_steps:
         # at most two distinct k values per rollout -> two compiles
@@ -1064,7 +1156,7 @@ def _inc_rollout_chunk(state: IncState, params: SimParams, n_steps: int,
 
 
 def rollout_inc(state, params: SimParams, n_steps: int,
-                record_every: int = 1):
+                record_every: int = 1, continuity: bool = False):
     """models.State -> (final State, traj) with in-scan frame recording.
 
     The planes stay resident across the WHOLE rollout (one conversion per
@@ -1083,7 +1175,7 @@ def rollout_inc(state, params: SimParams, n_steps: int,
     chunk_frames = max(1, STEP_BUDGET_PER_PROGRAM
                        // max(n * record_every, 1))
     s = _inc_convert_in(state.pos, state.vel, state.ids, state.overflow,
-                        params, n)
+                        params, n, continuity=continuity)
     lo = jnp.asarray(params.bounds_min, jnp.float32)
     dim = params.dim
     frames = []

@@ -186,7 +186,8 @@ def _density_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
 
 def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                   geom: PlaneGeom, fuse_integrate: bool = False,
-                  wall_params: SimParams = None, emit_movers: bool = False):
+                  wall_params: SimParams = None, emit_movers: bool = False,
+                  continuity: bool = False):
     """Fused pressure-gradient + viscosity sweep.
 
     Inputs arrive as TWO window groups — the 6-channel pos/vel plane stack
@@ -208,8 +209,23 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     pass excludes them via the flag.  (v2 compacted movers in-kernel through
     a flat-1024 routing network per rank tile — measured ~11 ms @1.47M,
     BASELINE.md — v3 replaces that with one extra output channel.)
+
+    With ``continuity`` (requires fuse_integrate + emit_movers) the pair
+    loop additionally accumulates the CONTINUITY-EQUATION density rate
+    drho/dt = sum_j m (v_i - v_j) . grad W_spiky and emits the explicit-
+    Euler-updated density plane rho_new = rho + dt*drho/dt.  The density
+    input group then carries the CARRIED rho of the incremental path
+    (ops/inc.py continuity tier) instead of a fresh summation sweep — the
+    whole density sweep drops out of the step.  Marginal pair cost is ~8
+    VPU ops (dv, dv.dd, fma) on top of ~26: every geometric factor
+    (dd, r2, inv_r, hr, hr^2/r) is already computed for the pressure term.
+    Reference match: SURVEY.md §2 "Density/pressure pass" — the capability
+    is density+EOS; the summation form is re-synced by periodic
+    re-summation in inc.step_planes (drift is O(dt) between resyncs).
     """
     dzs, dys, dxs = _stencil(params.dim)
+    if continuity:
+        assert fuse_integrate and emit_movers
     if emit_movers:
         # third scalar-prefetch operand: (2,) f32 [slab binning x-origin,
         # slab end) — equal to the global x bounds on a single chip, the
@@ -218,7 +234,9 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     n_in = 3 * len(dzs)
     refs, rest = args[:n_in], args[n_in:]
     rrefs, rest = rest[:n_in], rest[n_in:]
-    if emit_movers:
+    if continuity:
+        acc_ref, rho_ref, flag_ref, win = rest
+    elif emit_movers:
         acc_ref, flag_ref, win = rest
     else:
         acc_ref, win = rest
@@ -240,6 +258,63 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     m_visc_sqrt = jnp.float32(_math.sqrt(
         kernels.visc_lap_coef(params.h, params.dim)
         * params.particle_mass * params.viscosity))
+    # continuity: drho = dt * m * sum((vi-vj) . grad W_poly6) with
+    # grad W_poly6 = -6 c (h^2-r^2)^2 d — the POLY6 gradient, not spiky:
+    # summation density is poly6, and d/dt[sum m W(x_ij)] =
+    # sum m grad W . (vi-vj) is a chain-rule IDENTITY only for the same
+    # kernel.  (First build used the spiky gradient — its 1/r blowup for
+    # close pairs mis-estimated drho by ~50% of rho0 within 2 steps on a
+    # jittered lattice; poly6-gradient continuity tracks the summation
+    # field to O(dt^2)/step.)  Negative scale: approaching pairs
+    # (dv.dd < 0) raise the density.
+    drho_scale = jnp.float32(
+        -6.0 * params.dt * kernels.poly6_coef(params.h, params.dim)
+        * params.particle_mass)
+    h2c = jnp.float32(params.h * params.h)
+    # Monaghan alpha-viscosity fold (continuity tier only; see
+    # SimParams.cont_alpha for why the continuity form NEEDS a stabilizer):
+    # the pair term m_spiky * Pi_ij with Pi = alpha c h (-mu)/rho0,
+    # mu = (dv.dd)/(r^2 + 0.01 h^2), active on approaching pairs only.
+    # Momentum-conserving (symmetric, central).
+    c_av = jnp.float32(
+        (-kernels.spiky_grad_coef(params.h, params.dim))
+        * params.particle_mass * params.cont_alpha * params.sound_speed
+        * params.h / params.rest_density)
+    eps_h2 = jnp.float32(0.01 * params.h * params.h)
+    # delta-SPH density diffusion fold (the preferred continuity
+    # stabilizer, SimParams.cont_delta): adds
+    #   drho_i/dt += 12 delta h c m c_poly6 * sum_j d2^2 (1 - rho_i/rho_j)
+    # i.e. in the shared drho accumulator (scaled by drho_scale < 0):
+    #   sr += d2^2 * (dot - kappa * (1 - rho_i/rho_j)),  kappa = 2 delta h c.
+    # 1/rho_j comes free off the viscosity window channel (ch7 =
+    # m_visc_sqrt / rho_j), so the query-side factor kappa*rho_i/m_visc
+    # rides as a 9th rolled query channel and the pair cost is ~2 ops.
+    # The self-pair cancels exactly: qf8*cir = kappa.  Requires
+    # viscosity > 0 (ch7 nonzero) — statically disabled otherwise.
+    use_delta = (continuity and params.cont_delta > 0.0
+                 and params.viscosity > 0.0)
+    kappa = jnp.float32(2.0 * params.cont_delta * params.h
+                        * params.sound_speed)
+    m_visc_f = float(_math.sqrt(
+        kernels.visc_lap_coef(params.h, params.dim)
+        * params.particle_mass * params.viscosity)) or 1.0
+    kappa_over_mv = jnp.float32(
+        2.0 * params.cont_delta * params.h * params.sound_speed / m_visc_f)
+    # deferred-correction pressure fold (SimParams.cont_beta): the pairwise
+    # diagonal of delta-p_i = c^2 dt drho_i/dt, entering the (p/rho^2)-sum
+    # as  psum -= C_CORR * d2^2 * (dv.dd):
+    #   C_CORR = m_spiky * 2 * 6 c_poly6 * m * c^2 * dt / rho0^2
+    # (one m from the force fold, one from drho's mass; 1/rho^2 ~ 1/rho0^2
+    # under weak compressibility).  Sign: approaching pairs (dot < 0) get
+    # extra repulsion — the compression the lagged EOS hasn't seen yet.
+    use_corr = continuity and params.cont_beta > 0.0
+    c_corr = jnp.float32(
+        params.cont_beta
+        * (-kernels.spiky_grad_coef(params.h, params.dim))
+        * params.particle_mass
+        * 12.0 * kernels.poly6_coef(params.h, params.dim)
+        * params.particle_mass * params.stiffness * params.dt
+        / (params.rest_density ** 2))
 
     @pl.when(occ_q > 0)
     def _():
@@ -274,16 +349,25 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
             # end: 22 lane-rolls per rank instead of 8 fields x every
             # (dz,k2,dy,dx) candidate tile (~50x fewer rolls).
             q0 = [win[ctr, j, k1, 8:16, :] for j in range(8)]
+            if use_delta:
+                # 9th query channel: kappa * rho_i / m_visc_sqrt — pairs
+                # with the candidate viscosity channel (m_visc_sqrt/rho_j)
+                # to give the delta-diffusion ratio kappa*rho_i/rho_j
+                q0.append(rrefs[ctr][1][k1, 0, 0, :, :] * kappa_over_mv)
             qv = {0: q0,
                   -1: [pltpu.roll(t, LANES - 1, axis=1) for t in q0],
                   1: [pltpu.roll(t, 1, axis=1) for t in q0]}
             z = jnp.zeros((ROWS_PER_BLOCK, LANES), jnp.float32)
-            acc = {dx: (z, z, z, z) for dx in (-1, 0, 1)}
+            n_acc = 5 if continuity else 4
+            acc = {dx: (z,) * n_acc for dx in (-1, 0, 1)}
 
             def pair(qf, cand, a4):
-                qx, qy, qz_, qvx, qvy, qvz, qp, qir = qf
+                qx, qy, qz_, qvx, qvy, qvz, qp, qir = qf[:8]
                 cx, cy, cz, cvx, cvy, cvz, cp, cir = cand
-                ax, ay, az, sv = a4
+                if continuity:
+                    ax, ay, az, sv, sr = a4
+                else:
+                    ax, ay, az, sv = a4
                 ddx = qx - cx
                 ddy = qy - cy
                 r2 = ddx * ddx + ddy * ddy
@@ -299,7 +383,22 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 # keeps coef_p finite (eps-regularized for coincident pairs)
                 # pressure: -m (pa+pb) g(r)/r * d  (constants pre-folded
                 # into the pr2 plane)
-                coef_p = (qp + cp) * (hr * hr * inv_r)
+                g = hr * hr * inv_r
+                psum = qp + cp
+                if continuity:
+                    dot = (qvx - cvx) * ddx + (qvy - cvy) * ddy
+                    if params.dim == 3:
+                        dot = dot + (qvz - cvz) * ddz
+                    d2 = jnp.maximum(h2c - r2, 0.0)
+                    d4 = d2 * d2
+                    t_dot = d4 * dot
+                    if use_corr:
+                        psum = psum - c_corr * t_dot
+                    if params.cont_alpha > 0.0:
+                        rr = jax.lax.rsqrt(r2 + eps_h2)
+                        u = dot * (rr * rr)
+                        psum = psum - c_av * jnp.minimum(u, 0.0)
+                coef_p = psum * g
                 # viscosity: mu m (vb-va) ira irb lap(r)  (constants folded
                 # into the irho plane as sqrt factors).  The -va term factors
                 # out of the pair loop: accumulate sum(coef_v) in sv and
@@ -311,6 +410,19 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 ay = ay + coef_p * ddy + coef_v * cvy
                 if params.dim == 3:
                     az = az + coef_p * ddz + coef_v * cvz
+                if continuity:
+                    # continuity density rate: (v_i - v_j) . dd with the
+                    # poly6-gradient weight (h^2-r^2)^2 — dd, r2, dot and
+                    # the d4*dot product are shared with the correction
+                    # term above; the constant -6 c_poly6 m dt folds into
+                    # drho_scale outside.  With use_delta the delta-SPH
+                    # diffusion rides the same accumulator:
+                    # w = dot - kappa*(1 - rho_i/rho_j).
+                    if use_delta:
+                        sr = sr + d4 * ((dot - kappa) + qf[8] * cir)
+                    else:
+                        sr = sr + t_dot
+                    return ax, ay, az, sv, sr
                 return ax, ay, az, sv
 
             for zi, dz in enumerate(dzs):
@@ -336,13 +448,17 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
             # lane l - dx.  (2D: the vz channel is all-zero, planes.py)
             def fin(dx):
                 s = acc[dx]
-                return [s[c] - qv[dx][3 + c] * s[3] for c in range(3)]
+                f = [s[c] - qv[dx][3 + c] * s[3] for c in range(3)]
+                if continuity:
+                    f.append(s[4])
+                return f
 
+            n_fin = 4 if continuity else 3
             out = fin(0)
             for dx in (-1, 1):
                 fdx = fin(dx)
                 shift = (-dx) % LANES
-                for c in range(3):
+                for c in range(n_fin):
                     out[c] = out[c] + pltpu.roll(fdx[c], shift, axis=1)
             if not fuse_integrate:
                 acc_ref[0, k1, 0, 0, :, :] = out[0]
@@ -407,6 +523,14 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 acc_ref[3 + c, k1, 0, 0, :, :] = jnp.where(
                     valid_q, v3[c], 0.0)
             flag_ref[k1, 0, 0, :, :] = moved.astype(jnp.float32)
+            if continuity:
+                # explicit-Euler continuity update of the CARRIED density:
+                # the raw (pre-EOS) query rho comes straight off the center
+                # input ref — the window's channel 6 was overwritten by the
+                # EOS fold at build time
+                rho_q = rrefs[ctr][1][k1, 0, 0, :, :]
+                rho_new = rho_q + drho_scale * out[3]
+                rho_ref[k1, 0, 0, :, :] = jnp.where(valid_q, rho_new, 0.0)
             return 0
 
         jax.lax.fori_loop(0, occ_q, q_loop, 0)
@@ -422,6 +546,9 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                     (3, ROWS_PER_BLOCK, LANES), jnp.float32)
                 if emit_movers:
                     flag_ref[k1, 0, 0, :, :] = jnp.zeros(
+                        (ROWS_PER_BLOCK, LANES), jnp.float32)
+                if continuity:
+                    rho_ref[k1, 0, 0, :, :] = jnp.zeros(
                         (ROWS_PER_BLOCK, LANES), jnp.float32)
             else:
                 acc_ref[:, k1, 0, 0, :, :] = jnp.zeros(
@@ -515,7 +642,8 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
                  params: SimParams, geom: PlaneGeom,
                  fuse_integrate: bool = False,
                  wall_params: SimParams = None,
-                 emit_movers: bool = False, slab=None):
+                 emit_movers: bool = False, slab=None,
+                 continuity: bool = False):
     """(6, K, pz, n_bx, py, 128) pos/vel planes + (K, pz, n_bx, py, 128)
     density planes -> (3, ...) acceleration (pressure + viscosity; gravity
     NOT included).  The EOS runs fused inside the kernel.
@@ -533,6 +661,10 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
     slab as movers under spatial sharding; default is the global domain
     padded by one cell, which never triggers on a single chip (collide
     clamps x inside the walls).
+
+    With ``continuity`` (requires both): rho_planes is the CARRIED density
+    (not a fresh sweep) and the return is (new6, rho_new, flagp) with
+    rho_new the continuity-updated density plane (see _force_kernel).
     """
     n_dz = 3 if geom.dim == 3 else 1
     grid, in_specs = _grid_and_specs(geom, 6)
@@ -569,17 +701,19 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
                                 params.bounds_max[0] + params.cell],
                                jnp.float32)
         extra_scalars = [jnp.asarray(slab, jnp.float32)]
-        out_specs = [
-            main_spec,
-            pl.BlockSpec((geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
-                         _out_index(geom, 0), memory_space=pltpu.VMEM),
-        ]
-        out_shape = [
-            main_shape,
-            jax.ShapeDtypeStruct(
-                (geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32),
-        ]
+        plane1_spec = pl.BlockSpec((geom.k, 1, 1, ROWS_PER_BLOCK, LANES),
+                                   _out_index(geom, 0),
+                                   memory_space=pltpu.VMEM)
+        plane1_shape = jax.ShapeDtypeStruct(
+            (geom.k, geom.pz, geom.n_bx, geom.py, LANES), jnp.float32)
+        if continuity:
+            out_specs = [main_spec, plane1_spec, plane1_spec]
+            out_shape = [main_shape, plane1_shape, plane1_shape]
+        else:
+            out_specs = [main_spec, plane1_spec]
+            out_shape = [main_shape, plane1_shape]
     else:
+        assert not continuity
         out_specs, out_shape = main_spec, main_shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 + len(extra_scalars),
@@ -592,7 +726,8 @@ def accel_planes(field_planes, rho_planes, occ_q, occ_s,
     kernel = functools.partial(_force_kernel, params=params, geom=geom,
                                fuse_integrate=fuse_integrate,
                                wall_params=wall_params,
-                               emit_movers=emit_movers)
+                               emit_movers=emit_movers,
+                               continuity=continuity)
     n_copies = len(in_specs)
     return pl.pallas_call(
         kernel,

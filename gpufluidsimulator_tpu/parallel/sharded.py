@@ -242,8 +242,8 @@ def run_sharded(sstate: ShardedState, params: SimParams, mesh: Mesh,
 
 
 def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
-                    n_steps: int, mig_cap: Optional[int] = None
-                    ) -> ShardedState:
+                    n_steps: int, mig_cap: Optional[int] = None,
+                    continuity: bool = False) -> ShardedState:
     """Advance n_steps on the incremental (planes-resident) pipeline.
 
     Each device's rank-plane stack is the scan-carried state (one
@@ -255,6 +255,9 @@ def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
     accumulate into ``overflow``; ICI mover-buffer capacity misses
     accumulate into ``mig_overflow`` — the two failure modes stay
     independently observable, exactly as on ``run_sharded``.
+
+    ``continuity``: the carried-density tier (ops/inc.py) — rho rides as
+    an 8th plane/mover channel over the same ICI exchanges.
     """
     from ..ops import inc
     n_dev = mesh.devices.size
@@ -279,7 +282,8 @@ def run_sharded_inc(sstate: ShardedState, params: SimParams, mesh: Mesh,
                     + jax.lax.axis_index(AXIS).astype(jnp.float32)
                     * jnp.float32(width))
         s0 = inc.to_planes(pos[0], vel[0], ids[0], params_loc, geom,
-                           x_origin=x_origin, active=ids[0] >= 0)
+                           x_origin=x_origin, active=ids[0] >= 0,
+                           continuity=continuity)
 
         def body(s, _):
             return inc.step_planes(
@@ -412,7 +416,7 @@ class ShardedSim:
                  n_cap: Optional[int] = None,
                  m_cap: Optional[int] = None,
                  method: str = "pallas"):
-        if method not in ("pallas", "pallas_inc"):
+        if method not in ("pallas", "pallas_inc", "pallas_inc_cont"):
             raise ValueError(f"unknown sharded method {method!r}")
         self.params = params
         self.mesh = mesh or make_mesh()
@@ -422,9 +426,10 @@ class ShardedSim:
                                              n_cap, m_cap)
 
     def step(self, n: int = 1) -> ShardedState:
-        if self.method == "pallas_inc":
-            self.sstate = run_sharded_inc(self.sstate, self.params,
-                                          self.mesh, n)
+        if self.method in ("pallas_inc", "pallas_inc_cont"):
+            self.sstate = run_sharded_inc(
+                self.sstate, self.params, self.mesh, n,
+                continuity=self.method == "pallas_inc_cont")
         else:
             self.sstate = run_sharded(self.sstate, self.params, self.mesh,
                                       n, self.m_cap)

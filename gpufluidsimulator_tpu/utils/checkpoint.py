@@ -126,7 +126,13 @@ def save_planes(path: str, inc_state, params: SimParams,
     """Snapshot an ops.inc.IncState (the planes-resident carried state)
     directly — no planes->flat conversion, so long incremental rollouts can
     checkpoint mid-flight and resume bitwise (the flat round trip is
-    id-order-preserving but costs two compactions + a rebuild)."""
+    id-order-preserving but costs two compactions + a rebuild).  The
+    continuity tier's carried density/age (IncState.rhop/.age) ride along
+    when present."""
+    extra = {}
+    if inc_state.rhop is not None:
+        extra = dict(rhop=np.asarray(inc_state.rhop),
+                     age=np.asarray(inc_state.age))
     np.savez_compressed(
         path,
         kind=np.asarray(2, np.int64),
@@ -136,7 +142,7 @@ def save_planes(path: str, inc_state, params: SimParams,
         mig_overflow=np.asarray(inc_state.mig_overflow),
         n=np.asarray(n, np.int64),
         step=np.asarray(step, np.int64),
-        params_json=_params_meta(params))
+        params_json=_params_meta(params), **extra)
 
 
 def load_planes(path: str):
@@ -152,7 +158,11 @@ def load_planes(path: str):
         state = IncState(fields6=jnp.asarray(z["fields6"]),
                          idp=jnp.asarray(z["idp"]),
                          overflow=jnp.asarray(z["overflow"]),
-                         mig_overflow=mig)
+                         mig_overflow=mig,
+                         rhop=(jnp.asarray(z["rhop"]) if "rhop" in z
+                               else None),
+                         age=(jnp.asarray(z["age"]) if "age" in z
+                              else None))
         return state, params, int(z["step"]), int(z["n"])
 
 

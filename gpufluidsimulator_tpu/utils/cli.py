@@ -61,11 +61,14 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cell-capacity", type=int, default=None)
     p.add_argument("--method", default="auto",
                    choices=["auto", "naive", "gridded", "pallas",
-                            "pallas_inc", "native"],
+                            "pallas_inc", "pallas_inc_cont", "native"],
                    help="'pallas_inc' = incremental binning (planes-resident"
                         " state, movers-only re-sort — the production TPU "
-                        "mode); 'native' = multithreaded C++ CPU engine "
-                        "(the reference's CPU mode analog)")
+                        "mode); 'pallas_inc_cont' = + continuity-equation "
+                        "density (no per-step density sweep; opt-in "
+                        "throughput tier, statistically validated — see "
+                        "BASELINE.md); 'native' = multithreaded C++ CPU "
+                        "engine (the reference's CPU mode analog)")
     p.add_argument("--sharded", action="store_true",
                    help="spatial sharding over all visible devices "
                         "(shard_map + ppermute ghost exchange)")
@@ -155,7 +158,8 @@ def _run_body(args) -> int:
 
             def __init__(self, params, state):
                 method = (args.method if args.method in
-                          ("pallas", "pallas_inc") else "pallas")
+                          ("pallas", "pallas_inc", "pallas_inc_cont")
+                          else "pallas")
                 self._sim = ShardedSim(params, state, method=method)
                 self.method = (f"sharded-{method} x"
                                f"{self._sim.mesh.devices.size}")

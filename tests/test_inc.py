@@ -404,3 +404,151 @@ def test_run_inc_chunked_matches_single_program():
     np.testing.assert_array_equal(np.asarray(one.pos), np.asarray(many.pos))
     np.testing.assert_array_equal(np.asarray(one.vel), np.asarray(many.vel))
     np.testing.assert_array_equal(np.asarray(one.ids), np.asarray(many.ids))
+
+
+# ---------------------------------------------------------------------------
+# continuity-density tier (round 4)
+# ---------------------------------------------------------------------------
+
+def test_continuity_first_step_matches_summation():
+    """Step 1 of the continuity tier resums (age % RESUM_EVERY == 0), so its
+    EOS density is the same summation sweep the standard tier uses — the
+    post-step positions/velocities must match pallas_inc exactly."""
+    params, state = _scene(n=700, dim=2)
+    ref = solver.run(state, params, 1, method="pallas_inc")
+    got = solver.run(state, params, 1, method="pallas_inc_cont")
+    gi = np.argsort(np.asarray(got.ids))
+    ri = np.argsort(np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(got.pos)[gi],
+                                  np.asarray(ref.pos)[ri])
+    np.testing.assert_array_equal(np.asarray(got.vel)[gi],
+                                  np.asarray(ref.vel)[ri])
+
+
+def test_continuity_drho_matches_n2_reference():
+    """The force kernel's fused continuity accumulation must equal the
+    O(N^2) poly6-gradient rate sum m (vi-vj).gradW to float tolerance."""
+    from gpufluidsimulator_tpu.ops import kernels, pallas_sph
+    params, state = _scene(n=400, dim=2)
+    st = solver.run(state, params, 5, method="pallas_inc")  # nonzero vels
+    geom = pm.geometry(params)
+    s = inc.to_planes(st.pos, st.vel, st.ids, params, geom, continuity=True)
+    p6 = pm.halo_x(s.fields6)
+    occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
+    rho_p = pallas_sph.density_planes(p6[:3], occ_q, occ_s, params, geom)
+    rho_h = pm.halo_x(rho_p)
+    new6, rho_new, flagp = pallas_sph.accel_planes(
+        p6, rho_h, occ_q, occ_s, params, geom, fuse_integrate=True,
+        emit_movers=True, continuity=True)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    ids_slot = np.asarray(s.idp)[valid].astype(int)
+    drho_k = (np.asarray(rho_new) - np.asarray(rho_h))[valid] / params.dt
+
+    pos = np.asarray(st.pos, np.float64)
+    vel = np.asarray(st.vel, np.float64)
+    dd = pos[:, None, :] - pos[None, :, :]
+    r2 = (dd ** 2).sum(-1)
+    w = np.maximum(params.h ** 2 - r2, 0.0) ** 2
+    dv = vel[:, None, :] - vel[None, :, :]
+    dot = (dv * dd).sum(-1)
+    c = kernels.poly6_coef(params.h, params.dim) * params.particle_mass
+    drho_ref = -6.0 * c * (w * dot).sum(axis=1)
+    id2row = {int(pid): i for i, pid in enumerate(np.asarray(st.ids))}
+    ref = np.array([drho_ref[id2row[i]] for i in ids_slot])
+    scale = np.maximum(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(drho_k, ref, rtol=0, atol=2e-6 * scale)
+
+
+def test_continuity_rho_travels_with_movers():
+    """rho is Lagrangian state: when a particle changes cell, its carried
+    density must arrive with it (8th mover channel through stage-compact,
+    the arrival sorts/routing and consolidate)."""
+    params, state = _scene(n=900, dim=2)
+    geom = pm.geometry(params)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom,
+                      continuity=True)
+    # synthetic carried rho keyed by particle id
+    rho_of = lambda idp: jnp.where(idp >= 0, 1000.0 + idp, 0.0)
+    rhop = rho_of(s.idp)
+
+    rng = np.random.default_rng(1)
+    delta = (rng.random(np.asarray(state.pos).shape) - 0.5) * 1.4 * params.cell
+    new_pos = jnp.clip(
+        jnp.asarray(np.asarray(state.pos) + delta, jnp.float32),
+        jnp.asarray(params.bounds_min, jnp.float32),
+        jnp.asarray(params.bounds_max, jnp.float32))
+    ids_slot = np.asarray(s.idp).astype(np.int64)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    f6 = np.asarray(s.fields6).copy()
+    npos = np.asarray(new_pos)
+    for d in range(params.dim):
+        ch = f6[d]
+        ch[valid] = npos[ids_slot[valid].astype(int), d]
+        f6[d] = ch
+    fields6 = jnp.asarray(f6)
+
+    _, _, flags = inc.detect_movers(fields6, s.idp, params, geom)
+    assert int(jnp.sum(flags)) > 20
+    flagp = flags.astype(jnp.float32)
+    movers, m, tot = inc.extract_movers(fields6, s.idp, flagp, geom,
+                                        inc.mover_capacity(state.n),
+                                        rhop=rhop)
+    assert movers.shape[0] == 8
+    mv = np.asarray(movers)[:, :int(m)]
+    # rho channel rides with the id channel through the compaction
+    np.testing.assert_allclose(mv[7], 1000.0 + mv[6], rtol=0, atol=0)
+
+    arr, live_t, lost_dup = inc.arrival_planes(movers, m, params, geom)
+    assert arr.shape[0] == 8
+    out = inc.consolidate(fields6, s.idp, flagp, arr, live_t, geom,
+                          rhop=rhop)
+    fields6_o, idp_o, rho_o, lost_rank = out
+    assert int(lost_dup) == 0 and int(lost_rank) == 0
+    valid_o = np.asarray((fields6_o[0] < pm.SENTINEL * 0.5)
+                         & inc.interior_mask(geom)[None])
+    ids_o = np.asarray(idp_o)[valid_o]
+    rho_v = np.asarray(rho_o)[valid_o]
+    np.testing.assert_allclose(rho_v, 1000.0 + ids_o, rtol=0, atol=0)
+
+
+def test_continuity_resummation_resets_drift(monkeypatch):
+    """With RESUM_EVERY = 4, step 5 (age 4) must resummate: its carried-out
+    rho equals a fresh summation + one continuity increment, independent of
+    whatever drift accumulated in steps 2-4."""
+    params, state = _scene(n=700, dim=2)
+    geom = pm.geometry(params)
+    m_cap = inc.mover_capacity(state.n)
+    monkeypatch.setattr(inc, "RESUM_EVERY", 4)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom,
+                      continuity=True)
+    for _ in range(4):
+        s = s._replace(rhop=s.rhop + 1.0)   # inject artificial drift
+        s = inc.step_planes(s, params, geom, m_cap)
+    assert int(s.age) == 4
+    # next step resums: drift injected above must NOT propagate
+    drifted = inc.step_planes(s._replace(rhop=s.rhop + 123.0), params,
+                              geom, m_cap)
+    clean = inc.step_planes(s, params, geom, m_cap)
+    np.testing.assert_array_equal(np.asarray(drifted.rhop),
+                                  np.asarray(clean.rhop))
+    np.testing.assert_array_equal(np.asarray(drifted.fields6),
+                                  np.asarray(clean.fields6))
+
+
+def test_run_inc_cont_long_run_stays_sane():
+    """30 continuity steps on the jittered dam break: no NaN, no overflow,
+    carried rho stays within physical bounds, and the trajectory stays
+    within a few h of the summation-density reference (the two forms are
+    O(dt)-different formulations, not bitwise twins — the oracle-grade
+    acceptance lives in test_naive_vs_oracle)."""
+    params, state = _scene(n=700, dim=2)
+    ref = solver.run(state, params, 30, method="pallas_inc")
+    got = solver.run(state, params, 30, method="pallas_inc_cont")
+    assert int(got.overflow) == 0
+    assert not bool(jnp.any(jnp.isnan(got.pos)))
+    gi = np.argsort(np.asarray(got.ids))
+    ri = np.argsort(np.asarray(ref.ids))
+    dp = np.abs(np.asarray(got.pos)[gi] - np.asarray(ref.pos)[ri]).max()
+    assert dp < 8 * params.h, f"divergence {dp} vs h={params.h}"

@@ -42,7 +42,8 @@ def test_trajectory_matches_oracle_200_steps():
 
 
 @pytest.mark.slow
-def test_full_cfl_1000_steps_statistical_acceptance():
+@pytest.mark.parametrize("method", ["pallas_inc", "pallas_inc_cont"])
+def test_full_cfl_1000_steps_statistical_acceptance(method):
     """FULL-dt 1000-step acceptance for the headline pipeline (VERDICT
     round 2 #5): per-particle trajectories are fp-theoretically
     unrecoverable at full CFL (chaos bound below), but DISTRIBUTION-level
@@ -54,6 +55,9 @@ def test_full_cfl_1000_steps_statistical_acceptance():
     scripts/chaos_bound.py methodology, run inline here on the same
     scene): accept within 8x the ulp envelope (+ small absolute floors
     for zero-envelope early checkpoints).
+
+    Parametrized over the summation-density pipeline AND the round-4
+    continuity-density tier — the adoption gate VERDICT r3 #1 names.
     """
     from gpufluidsimulator_tpu.oracle import native
     if not native.available():
@@ -94,7 +98,7 @@ def test_full_cfl_1000_steps_statistical_acceptance():
     for k in checkpoints:
         pa, va, _, _ = native.run(pa, va, params, k)
         pb, vb, _, _ = native.run(pb, vb, params, k)
-        st = run(st, params, k, method="pallas_inc")
+        st = run(st, params, k, method=method)
         step_no += k
         oa = observables(pa, va)
         envelope = diffs(observables(pb, vb), oa)
@@ -113,10 +117,20 @@ def test_full_cfl_1000_steps_statistical_acceptance():
 
 
 @pytest.mark.slow
-def test_trajectory_matches_oracle_1000_steps():
+@pytest.mark.parametrize("method,bound", [("pallas", 1e-3),
+                                          ("pallas_inc_cont", 1e-2)])
+def test_trajectory_matches_oracle_1000_steps(method, bound):
     """Config-1 acceptance (BASELINE.json north_star): <=1e-3 relative error
     over 1000 steps vs the CPU float64 O(N^2) reference, full 4k scene,
     exercising the production pallas path.
+
+    The continuity tier (round 4) is held to a LOOSER 1e-2 bound here: its
+    density evolution is an O(dt)-different (deferred-correction) WCSPH
+    formulation, measured at 4.8e-3 @1000 steps dt/2 — ~23x the f64
+    oracle's own 1-ulp self-divergence envelope at dt/2 (2.1e-4), so
+    per-particle 1e-3 parity is a summation-tier guarantee; the tier's
+    formal acceptance is the full-CFL STATISTICAL test above, which it
+    passes at every checkpoint (BASELINE.md round-4 continuity chapter).
 
     Run at half the CFL dt because at full CFL the acceptance bound is
     FLOATING-POINT-THEORETICALLY unreachable, independent of
@@ -142,10 +156,10 @@ def test_trajectory_matches_oracle_1000_steps():
         p, v, _, _ = native.run(p, v, params, 1000, use_grid=False)
     else:
         p, v, _, _ = numpy_ref.run(p, v, params, 1000)
-    st = run(state, params, 1000, method="pallas")
+    st = run(state, params, 1000, method=method)
     order = np.argsort(np.asarray(st.ids))
     err = _rel_err(np.asarray(st.pos)[order], p)
-    assert err < 1e-3, (
+    assert err < bound, (
         f"rel_err {err:.2e} at dt/2 (full-CFL acceptance is fp-impossible:"
         " a 1-ulp f64-oracle self-perturbation exceeds 1e-3 by step 550 —"
         " docs/chaos_bound.json)")
