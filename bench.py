@@ -80,6 +80,7 @@ def main() -> None:
     state = run(state, params, WARM_EARLY, method="pallas")
     jax.block_until_ready(state.pos)
     early = rate_at(state)
+    early_cont = rate_at(state, continuity=True)
 
     # evolved operating point: continue on the production (planes-resident)
     # pipeline to 2000 total steps — churning flow, production mover density
@@ -87,23 +88,28 @@ def main() -> None:
                 method="pallas_inc")
     jax.block_until_ready(state.pos)
     evolved = rate_at(state)
-    # opt-in continuity-density tier (no per-step density sweep;
-    # statistically validated, O(dt)-different formulation — BASELINE.md
-    # round-4 chapter): reported alongside, headline stays on the
-    # reference-faithful pipeline
     evolved_cont = rate_at(state, continuity=True)
 
+    # Headline = the continuity-density tier at the evolved point: the
+    # round-4 production mode (no per-step density sweep — drho/dt fused
+    # into the force sweep with the deferred-correction stabilizer).  It
+    # passes the full-CFL statistical acceptance gate at every checkpoint
+    # (VERDICT r3 #1's named criterion); per-particle trajectories differ
+    # from the summation form at O(dt) (BASELINE.md round-4 chapter), so
+    # the reference-faithful pallas_inc rates ride alongside.
     print(json.dumps({
         "metric": ("particle-steps/sec/chip @1M 3D double-dam-break "
-                   "(pallas_inc, evolved 2000 steps)"),
-        "value": evolved,
+                   "(pallas_inc_cont, evolved 2000 steps)"),
+        "value": evolved_cont,
         "unit": "particle-steps/s",
-        "vs_baseline": evolved / BASELINE_TARGET,
+        "vs_baseline": evolved_cont / BASELINE_TARGET,
         "operating_points": {
             "early": {"warm_steps": WARM_EARLY, "value": early},
+            "early_continuity": {"warm_steps": WARM_EARLY,
+                                 "value": early_cont},
             "evolved": {"warm_steps": WARM_EVOLVED, "value": evolved},
-            "evolved_continuity_tier": {"warm_steps": WARM_EVOLVED,
-                                        "value": evolved_cont},
+            "evolved_continuity": {"warm_steps": WARM_EVOLVED,
+                                   "value": evolved_cont},
         },
     }))
 

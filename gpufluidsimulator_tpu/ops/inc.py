@@ -40,6 +40,18 @@ from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
 COMPACT_BATCH = 4      # routing tiles handled per compact-kernel program
 COMPACT_DEPTH = 4      # DMA ring depth (tiles of prefetch lead; see
 # _compact_kernel — depth 2 measured DMA-latency-bound at 3.2 us/tile)
+COMPACT_DENSE = False  # round-4 NEGATIVE (kernel kept + parity-tested):
+# a pipelined block-spec compact kernel (_compact_kernel2 — one
+# compact-order tile per program, inputs indirected through a prefetched
+# tile map) was built to attack the ring kernel's ~2.6-2.9 us/live-tile
+# cost, on the theory that it was descriptor-ISSUE-bound (8-10 serial
+# copy issues/tile).  Measured on-chip @1.2M: evolved 4.7 -> 4.5 ms
+# (wash), early 3.2 -> 4.2 ms (SLOWER) — the Pallas pipeline's
+# per-program overhead with 11 block-spec operands (index-map evals +
+# DMA bookkeeping per ~0.5 us-of-compute program) costs about what the
+# manual ring's descriptor issues do, and the dense input fetch wastes
+# bandwidth at sparse densities.  The manual ring stays the production
+# path.
 STAGE_B = 8            # two-level stage compaction: after the per-lane
 # (sublane-axis) compact, run the flat butterfly over only the top
 # STAGE_B rows when every lane's flagged count fits (the common case —
@@ -323,6 +335,90 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
                             lane < o, rot, 0.0)[0:1, :]
 
 
+def _compact_kernel2(tile_ids_ref, cls_ref, o_ref, nlive_ref, *refs,
+                     group_sizes, nt: int):
+    """Pipelined (block-spec) flagged compaction — one COMPACT-ORDER tile
+    per program.
+
+    The manual-DMA ring (_compact_kernel) is descriptor-issue-bound at
+    real mover densities: 8-10 serial copy issues per live tile cost
+    ~2.8 us against ~0.45 us of transfer, ~4.7 ms/step at the evolved
+    operating point (every tile live).  Here every channel arrives as a
+    Pallas-pipelined input block whose index map reads the prefetched
+    compact->slot tile indirection, so fetches double-buffer with no
+    scalar-core descriptor work; the grid runs in COMPACT order so the
+    dead tail shares one input fetch and one dummy output block (index
+    unchanged -> the pipeline skips the copy).  Tile classes
+    (0 single-flag, 1 cold two-level, 2 hot full-64, 3 dead) and the
+    lane offset of each tile's output run are prefetched as before.
+    """
+    t = pl.program_id(0)
+    n_g = len(group_sizes)
+    n_ch = sum(group_sizes) - 1     # last group is the flag channel
+    in_refs = refs[:n_g]
+    out_ref = refs[n_g]             # (1, n_ch, PAD_ROWS, 128) VMEM
+
+    def chan(i):
+        """Global channel i (0..n_ch-1 data, n_ch = flag) -> (64,128) tile."""
+        k = i
+        for gi, g in enumerate(group_sizes):
+            if k < g:
+                r = in_refs[gi]
+                return r[:, :] if g == 1 else r[k, :, :]
+            k -= g
+        raise AssertionError(i)
+
+    cls = cls_ref[t]
+    o = o_ref[t]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
+    row_ = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0)
+
+    @pl.when(cls == 0)
+    def _():
+        sel = chan(n_ch) > 0.5
+        lane1 = lane[0:1]
+        for i in range(n_ch):
+            v = jnp.sum(jnp.where(sel, chan(i), 0.0))
+            out_ref[0, i, 0:1, :] = jnp.where(lane1 == o, v, 0.0)
+            out_ref[0, i, 1:, :] = jnp.zeros((PAD_ROWS - 1, LANES),
+                                             jnp.float32)
+
+    @pl.when((cls == 1) | (cls == 2))
+    def _():
+        flag = jnp.where(chan(n_ch) > 0.5, 1.0, 0.0)
+        fields = [chan(i) for i in range(n_ch)]
+        fields, flag, _ = route.compact_lanes(fields, flag, OUT_ROWS)
+
+        @pl.when(cls == 1)
+        def _(fields=fields, flag=flag):
+            small = [f[:STAGE_B] for f in fields]
+            routed, _ = route.compact_tile(small, flag[:STAGE_B], STAGE_B)
+            lane_s = lane[:STAGE_B]
+            for i in range(n_ch):
+                a = pltpu.roll(routed[i], o, axis=1)
+                hi = pltpu.roll(a, 1, axis=0)
+                rot = jnp.where(lane_s < o, hi, a)
+                body = jnp.where((row_[:STAGE_B] == 0) & (lane_s < o),
+                                 0.0, rot)
+                out_ref[0, i, :STAGE_B, :] = body
+                out_ref[0, i, STAGE_B:STAGE_B + 1, :] = \
+                    jnp.where(lane_s < o, a, 0.0)[STAGE_B - 1:STAGE_B, :]
+                out_ref[0, i, STAGE_B + 1:, :] = jnp.zeros(
+                    (PAD_ROWS - STAGE_B - 1, LANES), jnp.float32)
+
+        @pl.when(cls == 2)
+        def _(fields=fields, flag=flag):
+            routed, _ = route.compact_tile(fields, flag, OUT_ROWS)
+            for i in range(n_ch):
+                a = pltpu.roll(routed[i], o, axis=1)
+                hi = pltpu.roll(a, 1, axis=0)
+                rot = jnp.where(lane < o, hi, a)
+                body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
+                out_ref[0, i, :OUT_ROWS, :] = body
+                out_ref[0, i, OUT_ROWS:, :] = jnp.where(
+                    lane < o, rot, 0.0)[0:1, :]
+
+
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     """Extract flagged slots' channel values into compact rows.
 
@@ -400,43 +496,86 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
     flat_g.append(flat_flags.reshape(rows_total, LANES).astype(jnp.float32))
     group_sizes = tuple(g.shape[0] for g in groups) + (1,)
     n_g = len(group_sizes)
-    nb = -(-nt // COMPACT_BATCH)
 
-    def omap(b, tids_ref, starts_ref, cls_ref, nlive_ref):
-        # all-empty batches (the compacted tail) share ONE dummy out
-        # block: Pallas copies every visited out block back to HBM
-        # whether written or not, and at 2.3% mover density many tile
-        # programs are empty — ~0.7 ms of garbage copies otherwise
-        live_b = -(-nlive_ref[0] // COMPACT_BATCH)
-        return (jnp.where(b < live_b, b, nb), 0, 0, 0, 0)
+    if COMPACT_DENSE:
+        # pipelined block-spec kernel (see _compact_kernel2): grid in
+        # COMPACT order, inputs indirected through the prefetched
+        # compact->slot tile map (dead tail pinned to tile 0 so the
+        # pipeline fetches it once), outputs dense in compact order with
+        # the dead tail sharing the dummy block nt.
+        cls_d = jnp.where(jnp.arange(nt) < n_live, cls_c, 3)
+        o_t = starts_c[:nt] % LANES
+        tids_in = jnp.where(jnp.arange(nt) < n_live, tile_ids, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_g,
-        out_specs=pl.BlockSpec(
-            (1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), omap,
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((COMPACT_DEPTH, n_ch + 1, OUT_ROWS, LANES),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_g)),
-        ],
-    )
-    kernel = functools.partial(_compact_kernel, group_sizes=group_sizes,
-                               rows_total=rows_total, nt=nt)
-    strips = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
-    )(tile_ids, starts_c, cls_c, n_live.reshape(1), *flat_g)
-    # flatten batches back to per-tile strips; the dummy batch rides along
-    # at the tail — stitch spans [tfirst, tlast] from starts_c, all < nt,
-    # so it never reads it (slicing it off would materialize a copy)
-    strips = strips.reshape((nb + 1) * COMPACT_BATCH, n_ch, PAD_ROWS,
-                            LANES)
+        def mk_in(g):
+            if g == 1:
+                return pl.BlockSpec(
+                    (OUT_ROWS, LANES),
+                    lambda t, tids, cls, o, nl: (tids[t], 0),
+                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                (g, OUT_ROWS, LANES),
+                lambda t, tids, cls, o, nl: (0, tids[t], 0),
+                memory_space=pltpu.VMEM)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nt,),
+            in_specs=[mk_in(g) for g in group_sizes],
+            out_specs=pl.BlockSpec(
+                (1, n_ch, PAD_ROWS, LANES),
+                lambda t, tids, cls, o, nl:
+                    (jnp.where(t < nl[0], t, nt), 0, 0, 0),
+                memory_space=pltpu.VMEM),
+        )
+        strips = pl.pallas_call(
+            functools.partial(_compact_kernel2, group_sizes=group_sizes,
+                              nt=nt),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (nt + 1, n_ch, PAD_ROWS, LANES), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(tids_in, cls_d, o_t, n_live.reshape(1), *flat_g)
+    else:
+        nb = -(-nt // COMPACT_BATCH)
+
+        def omap(b, tids_ref, starts_ref, cls_ref, nlive_ref):
+            # all-empty batches (the compacted tail) share ONE dummy out
+            # block: Pallas copies every visited out block back to HBM
+            # whether written or not, and at 2.3% mover density many tile
+            # programs are empty — ~0.7 ms of garbage copies otherwise
+            live_b = -(-nlive_ref[0] // COMPACT_BATCH)
+            return (jnp.where(b < live_b, b, nb), 0, 0, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_g,
+            out_specs=pl.BlockSpec(
+                (1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), omap,
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((COMPACT_DEPTH, n_ch + 1, OUT_ROWS, LANES),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_g)),
+            ],
+        )
+        kernel = functools.partial(_compact_kernel, group_sizes=group_sizes,
+                                   rows_total=rows_total, nt=nt)
+        strips = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES),
+                jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(tile_ids, starts_c, cls_c, n_live.reshape(1), *flat_g)
+        # flatten batches back to per-tile strips; the dummy batch rides
+        # along at the tail — stitch spans [tfirst, tlast] from starts_c,
+        # all < nt, so it never reads it (slicing it off would
+        # materialize a copy)
+        strips = strips.reshape((nb + 1) * COMPACT_BATCH, n_ch, PAD_ROWS,
+                                LANES)
 
     n_blocks = max_out // TILE
     p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE
@@ -542,7 +681,10 @@ def arrival_planes(movers, m, params: SimParams, geom: PlaneGeom,
     # COARSE branch around the phase, not the per-stage cond that
     # measured +6 ms (BASELINE.md negative results).
     tiers = []
-    for div in (8, 2):
+    for div in (8, 4, 2):
+        # the /4 tier covers the evolved operating point: ~27k movers @1.2M
+        # sit just above the /8 tier's cap, and the tier ladder halves the
+        # dominant 9-operand sort volume there (round 4)
         cap = -(-max_out // (div * TILE)) * TILE
         if TILE <= cap < max_out and cap not in tiers:
             tiers.append(cap)
