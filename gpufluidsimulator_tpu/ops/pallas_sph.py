@@ -315,6 +315,18 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
         * 12.0 * kernels.poly6_coef(params.h, params.dim)
         * params.particle_mass * params.stiffness * params.dt
         / (params.rest_density ** 2))
+    # Clamp the per-pair correction at the 20%-overdensity pressure scale:
+    # the correction is an ACOUSTIC stabilizer (typical magnitude ~ the
+    # pressure of a ~1% density ripple, 20x below this cap), but its raw
+    # form grows with the pair's closing speed and over-kicked isolated
+    # splash particles in violent encounters — a 5000-step soak measured
+    # sustained vmax 13-32 vs the summation tier's 5.6-9.8 before the
+    # clamp.  Outside the linear regime the term has no business being
+    # large; the clamp leaves the stability analysis untouched.
+    corr_cap = jnp.float32(
+        (-kernels.spiky_grad_coef(params.h, params.dim))
+        * params.particle_mass
+        * params.stiffness * 0.2 / params.rest_density)
 
     @pl.when(occ_q > 0)
     def _():
@@ -393,7 +405,8 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                     d4 = d2 * d2
                     t_dot = d4 * dot
                     if use_corr:
-                        psum = psum - c_corr * t_dot
+                        psum = psum - jnp.clip(c_corr * t_dot,
+                                               -corr_cap, corr_cap)
                     if params.cont_alpha > 0.0:
                         rr = jax.lax.rsqrt(r2 + eps_h2)
                         u = dot * (rr * rr)

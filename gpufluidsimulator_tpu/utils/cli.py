@@ -237,16 +237,28 @@ def _bench_body(args, solver, profiling) -> int:
         sim.step(max(1, args.k2 - args.k1))
         t = (time.perf_counter() - t0) / max(1, args.k2 - args.k1)
         method = "native"
-    elif args.method == "pallas_inc":
+    elif args.method in ("pallas_inc", "pallas_inc_cont"):
         # planes-resident pipeline: the carried state is the plane stack,
         # so slope-time step_planes over an IncState (the single-step
         # registry facade re-converts per call and would mis-measure)
         from ..ops import inc
         from ..ops import planes as pm
-        method = "pallas_inc"
+        method = args.method
+        cont = method == "pallas_inc_cont"
         geom = pm.geometry(params)
         m_cap = inc.mover_capacity(state.n)
-        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom)
+        s0 = inc.to_planes(state.pos, state.vel, state.ids, params, geom,
+                           continuity=cont)
+        if cont:
+            # steady-state rate: fill rho and step off the resum phase
+            import jax.numpy as jnp
+            from ..ops import pallas_sph
+            p6 = pm.halo_x(s0.fields6)
+            occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
+            s0 = s0._replace(
+                rhop=pallas_sph.density_planes(p6[:3], occ_q, occ_s,
+                                               params, geom),
+                age=jnp.int32(1))
         t = profiling.slope_time(
             lambda s: inc.step_planes(s, params, geom, m_cap), s0,
             k1=args.k1, k2=args.k2)

@@ -97,8 +97,9 @@ def main():
                 [r["ms_per_step"] for r in rows])),
         ),
     )
+    name = "soak_cont.json" if continuity else "soak.json"
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "soak.json")
+        os.path.abspath(__file__))), "docs", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}: {out['summary']}")
