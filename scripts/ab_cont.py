@@ -16,7 +16,6 @@ _enable_cache()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gpufluidsimulator_tpu import scenes
 from gpufluidsimulator_tpu.models import solver

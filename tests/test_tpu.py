@@ -7,8 +7,6 @@ Every test here skips unless the active backend is a real TPU (the default
 tier's conftest forces CPU; set PYTEST_TPU=1 to keep the chip).
 """
 
-import os
-
 import numpy as np
 import pytest
 
