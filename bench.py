@@ -32,6 +32,14 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_TARGET = 1.0e9  # particle-steps/sec/chip @1M (BASELINE.json)
+# Roofline context for the achieved-fraction fields (BASELINE.md
+# "Speed-of-light" + "CLOSING THE PADDING FILE"): the algorithmic ceiling
+# of honest cell-list SPH on this chip's VPU at perfect efficiency, and
+# the tighter ceiling of the frozen cell-aligned rank-planar layout
+# (lane-level occupancy padding is structural — every escape measured or
+# first-principles dead across rounds 2-4).
+CEILING_CHIP_ALGORITHMIC = 2.5e8   # ~2-3e8 particle-steps/s
+CEILING_THIS_LAYOUT = 8.0e7        # ~8e7 for the cell-aligned layout
 WARM_EARLY = 100
 WARM_EVOLVED = 2000
 
@@ -99,10 +107,28 @@ def main() -> None:
     # the reference-faithful pallas_inc rates ride alongside.
     print(json.dumps({
         "metric": ("particle-steps/sec/chip @1M 3D double-dam-break "
-                   "(pallas_inc_cont, evolved 2000 steps)"),
+                   "(pallas_inc_cont, evolved 2000 steps; statistical "
+                   "acceptance gate, not 1e-3 trajectory parity)"),
         "value": evolved_cont,
         "unit": "particle-steps/s",
         "vs_baseline": evolved_cont / BASELINE_TARGET,
+        # the reference-faithful production number: evolved pallas_inc
+        # (summation density — passes the dt/2 1e-3 per-particle parity
+        # gate at 6.3e-5; BASELINE.md "Validation")
+        "faithful_value": evolved,
+        "headline_tier_note": (
+            "pallas_inc_cont integrates the continuity equation for "
+            "density (no per-step summation sweep). It passes the "
+            "full-CFL 1000-step STATISTICAL acceptance vs the f64 "
+            "oracle at all checkpoints, but NOT the dt/2 1e-3 "
+            "per-particle trajectory-parity gate (4.8e-3, an O(dt) "
+            "formulation difference) - pallas_inc (faithful_value) "
+            "does (6.3e-5). See BASELINE.md round-4 chapter."),
+        # achieved fraction of the two measured ceilings (MFU analog):
+        # this frozen layout's ~8e7 and the chip-algorithmic ~2.5e8
+        "fraction_of_layout_ceiling": evolved_cont / CEILING_THIS_LAYOUT,
+        "fraction_of_chip_ceiling": (evolved_cont
+                                     / CEILING_CHIP_ALGORITHMIC),
         "operating_points": {
             "early": {"warm_steps": WARM_EARLY, "value": early},
             "early_continuity": {"warm_steps": WARM_EARLY,

@@ -132,6 +132,14 @@ class SimParams:
                     f"cell_aniso[0]={self.cell_aniso[0]} needs an x-stencil "
                     f"halfwidth {self.x_halfwidth} > 3 (VMEM/accumulator "
                     "budget caps it at 3)")
+        if self.cont_delta > 0.0 and self.viscosity == 0.0:
+            # delta-SPH recovers 1/rho_j from the viscosity window channel,
+            # so it is statically disabled on inviscid configs — refuse
+            # rather than silently ignore the requested stabilizer.
+            raise ValueError(
+                "cont_delta > 0 requires viscosity > 0 (the delta-SPH term "
+                "rides the viscosity window channel and is statically "
+                "disabled on inviscid configs)")
 
     @property
     def sound_speed(self) -> float:

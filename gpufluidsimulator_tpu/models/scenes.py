@@ -171,7 +171,7 @@ def spawn_boxes(n: int = 4096, dim: int = 2,
     for b in boxes:
         bmin, bmax = b[0], b[1]
         vol += math.prod(max(bmax[d] - bmin[d], 0.0) for d in range(dim))
-        height = max(height, max(bmax[1] - bmin[1] for _ in (0,)))
+        height = max(height, bmax[1] - bmin[1])
     params = _derive(n, vol, dim, height=height, bounds=(lo, hi))
     state = None
     for i, b in enumerate(boxes):

@@ -71,7 +71,13 @@ def _step_pallas_inc_cont(state: State, params: SimParams) -> State:
     # continuity-density tier: the density sweep drops out of the step —
     # rho rides in the planes and is integrated by the force kernel
     # (ops/inc.py step_planes continuity mode; re-summed every
-    # RESUM_EVERY steps)
+    # RESUM_EVERY steps).  CAVEAT (like pallas_inc's conversion cost, but
+    # worse): this single-step facade re-converts flat->planes per call,
+    # which resets the resum age to 0 — so repeated solver.step() calls
+    # pay a summation-density resum EVERY step and never reach the
+    # steady-state continuity formulation.  Use run()/rollout() (which
+    # dispatch to inc.run_inc and keep the planes + age resident across
+    # the whole scan) for anything longer than one step.
     from ..ops import inc
     return inc.run_inc(state, params, 1, continuity=True)
 

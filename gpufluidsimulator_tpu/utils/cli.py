@@ -104,10 +104,7 @@ def _build_scene(args):
 def cmd_run(args) -> int:
     import contextlib
 
-    import jax
-    from .. import FluidSim
-    from ..ops import render
-    from . import checkpoint, metrics, profiling
+    from . import profiling
 
     ctx = (profiling.trace(args.profile_dir) if args.profile_dir
            else contextlib.nullcontext())
@@ -120,11 +117,18 @@ def cmd_run(args) -> int:
 
 
 def _run_body(args) -> int:
-    import jax
     from .. import FluidSim
     from ..ops import render
     from . import checkpoint, metrics
 
+    if args.sharded and args.movie:
+        # the movie branch records frames in-scan via solver.rollout, which
+        # has no sharded counterpart (run_sharded carries no frame stack);
+        # refuse loudly rather than silently run single-device
+        raise SystemExit(
+            "--sharded and --movie are mutually exclusive: in-scan frame "
+            "recording is not implemented on the sharded path (use "
+            "--frames-dir for per-interval PNGs, or drop --sharded)")
     if args.resume:
         state, params, start = checkpoint.load(args.resume)
         print(f"resumed from {args.resume} at step {start}")
@@ -141,8 +145,6 @@ def _run_body(args) -> int:
                                      record_every=args.movie_every)
         np.savez_compressed(args.movie, frames=np.asarray(traj),
                             every=np.asarray(args.movie_every))
-        mets = metrics.RunMetrics(params, state.n, args.method)
-        s = mets.record(start + args.steps, final, params)
         print(f"movie: {traj.shape[0]} frames -> {args.movie} "
               f"(every {args.movie_every} steps)")
         final_inv = metrics.invariants(final, params)
@@ -150,7 +152,6 @@ def _run_body(args) -> int:
                           if k != "momentum"}))
         return 1 if final_inv["nan"] else 0
     if args.sharded:
-        import jax
         from ..parallel.sharded import ShardedSim
 
         class _Adapter:

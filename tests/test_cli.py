@@ -133,6 +133,16 @@ def test_box_requires_spawn_boxes():
               "--steps", "1", "--box", "0,0:1,1", "--method", "naive"])
 
 
+def test_sharded_movie_refused(tmp_path):
+    """--sharded --movie must refuse loudly, not silently run single-device
+    (VERDICT round 4 weak #4): the movie branch records frames via
+    solver.rollout, which has no sharded counterpart."""
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["run", "-n", "200", "--dim", "2", "--steps", "10",
+              "--method", "naive", "--sharded",
+              "--movie", str(tmp_path / "m.npz")])
+
+
 def test_run_profile_dir(tmp_path, capsys):
     """--profile-dir wraps the run in a jax.profiler trace and lands a
     TensorBoard/Perfetto dump (VERDICT round 2 #9)."""

@@ -50,3 +50,8 @@ def test_params_validation():
                   bounds_max=(1.0, 0.5), h=0.05)
     assert p.grid_res == (20, 10)
     assert p.num_cells == 200
+    # cont_delta rides the viscosity window channel: inviscid configs must
+    # refuse it rather than silently skip the stabilizer (ADVICE round 4)
+    with pytest.raises(ValueError, match="cont_delta"):
+        SimParams(dim=2, gravity=(0.0, -9.81), bounds_min=(0.0, 0.0),
+                  bounds_max=(1.0, 1.0), viscosity=0.0, cont_delta=0.1)
