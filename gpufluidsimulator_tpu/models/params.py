@@ -102,6 +102,44 @@ class SimParams:
     # pairwise form reuses the continuity accumulation's d2^2*dot product,
     # so it costs ~2 VPU ops per pair.
     cont_beta: float = 1.0
+    # How the pallas_inc_cont tier advances the carried density.
+    #   "rate" (default, round 4) — integrate drho/dt = sum m
+    #            (vi-vj).gradW explicitly, re-synced by a full summation
+    #            sweep every ops/inc.RESUM_EVERY steps; supports the
+    #            cont_delta delta-SPH stabilizer.  The only form with a
+    #            measured ZERO-LOSS 5000-step @1.2M soak
+    #            (docs/soak_cont.json).
+    #   "relax" — the rate update relaxed toward the concurrent in-sweep
+    #            summation: rho' = (1-l)(rho + dt drho/dt) + l R(x),
+    #            l = cont_relax, folded into the SAME single accumulator
+    #            (sum d4*(dot + kappa d2)) for ~1 extra op/pair; density
+    #            error decays by (1-l) per step, so no periodic resum
+    #            (seeded once at age 0) and no long-lived carried-rho
+    #            error.  Round-5 verdict: acceptance PASSES at l=1/8 and
+    #            1/4 (worst margin 0.97-0.98, = the rate form's; 1/16 and
+    #            1/32 graze the KE floor at step 750), BUT the 5000-step
+    #            @1.2M soak lost 5 particles in the violent phase (rate:
+    #            0) with splash vmax UNCHANGED at 18-29
+    #            (docs/soak_cont_relax.json) — kept as an opt-in research
+    #            form, not the default.
+    #   "sum"  — full re-anchoring: emit the exact poly6 summation R(x)
+    #            each step (lag 1, zero drift).  Acceptance FAILS the KE
+    #            gate at step 1000 (-0.0531 vs 0.05 floor); "completing"
+    #            the emission to R(x) + dt*dR/dt is WORSE (-0.0658) —
+    #            the deferred correction already compensates the lag, so
+    #            completion double-corrects.  Opt-in research form.
+    # ROUND-5 DIAGNOSIS from this family (scripts/sweep_cont_accept.py +
+    # the soak pair): the round-4 hypothesis that splash vmax outliers
+    # (2-3x the summation tier's) come from FROZEN carried rho on
+    # isolated particles is DISPROVEN — even full per-step re-anchoring
+    # ("sum"/"relax") leaves vmax at 18-29.  The outliers are caused by
+    # the one-step pressure LAG in violent encounters (where the
+    # deferred correction is clamped by design), which is inherent to
+    # every member of the lagged-density family; the summation tier
+    # (pallas_inc) remains the behavior-faithful mode.
+    cont_form: str = "rate"
+    # relaxation weight lambda for cont_form="relax" (see above).
+    cont_relax: float = 0.125
 
     # ------------------------------------------------------------------ utils
     def __post_init__(self):
@@ -132,6 +170,23 @@ class SimParams:
                     f"cell_aniso[0]={self.cell_aniso[0]} needs an x-stencil "
                     f"halfwidth {self.x_halfwidth} > 3 (VMEM/accumulator "
                     "budget caps it at 3)")
+        if self.cont_form not in ("relax", "sum", "rate"):
+            raise ValueError(f"unknown cont_form {self.cont_form!r}")
+        if self.cont_form == "relax" and not (
+                0.0 < self.cont_relax < 1.0):
+            raise ValueError(
+                f"cont_relax must be in (0, 1) for cont_form='relax' "
+                f"(use cont_form='sum' for full re-anchoring), got "
+                f"{self.cont_relax}")
+        if self.cont_delta > 0.0 and self.cont_form != "rate":
+            # delta-SPH diffuses the INTEGRATED density field; the sum/
+            # relax forms re-anchor at an exact summation (fully /
+            # partially) every step, so there is no accumulated field to
+            # diffuse — refuse a no-op request.
+            raise ValueError(
+                "cont_delta requires cont_form='rate' (the sum/relax "
+                "forms have no freely integrated density field to "
+                "diffuse)")
         if self.cont_delta > 0.0 and self.viscosity == 0.0:
             # delta-SPH recovers 1/rho_j from the viscosity window channel,
             # so it is statically disabled on inviscid configs — refuse

@@ -67,12 +67,15 @@ ARRIVAL_K = 8          # K'': max same-cell arrivals routed per step.  Set
 # same-cell arrivals in one step: measured 271 lost particles over 500
 # steps @1M 3D double dam break, where the full rebuild loses none.)
 
-RESUM_EVERY = 64       # continuity tier: steps between summation-density
-# re-syncs.  The continuity form integrates drho/dt = sum m (vi-vj).gradW
-# explicitly, which drifts O(dt * div-v error) per step from the summation
-# density the EOS was calibrated against; a full poly6 re-summation every
-# RESUM_EVERY steps pins the drift (amortized cost: one density sweep /
-# 64 steps ~ 0.1 ms @1.2M).
+RESUM_EVERY = 64       # continuity tier, cont_form="rate" only: steps
+# between summation-density re-syncs.  The rate form integrates
+# drho/dt = sum m (vi-vj).gradW explicitly, which drifts
+# O(dt * div-v error) per step from the summation density the EOS was
+# calibrated against; a full poly6 re-summation every RESUM_EVERY steps
+# pins the drift (amortized cost: one density sweep / 64 steps ~ 0.1 ms
+# @1.2M).  The default cont_form="sum" (round 5) emits a fresh exact
+# summation from the force sweep every step, so it only resums once, at
+# age 0, to seed the EOS before the first sweep has run.
 
 
 def mover_capacity(n: int) -> int:
@@ -1123,10 +1126,11 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
 
     Continuity tier (``state.rhop is not None``): the density sweep is
     SKIPPED — the EOS reads the carried rho plane, the force kernel
-    integrates drho/dt = sum m (vi-vj).gradW in the same pair loop
-    (pallas_sph continuity), movers carry rho as an 8th channel, and
-    every RESUM_EVERY steps a summation sweep re-syncs the carried
-    density (one coarse lax.cond around the sweep, the arrival-tier
+    emits next step's rho in the same pair loop (pallas_sph continuity;
+    SimParams.cont_form: "sum" = exact in-sweep poly6 summation, lag 1,
+    seeded once at age 0; "rate" = integrated drho/dt, re-synced every
+    RESUM_EVERY steps), and movers carry rho as an 8th channel.  The
+    seeding/resum sweep runs under one coarse lax.cond (the arrival-tier
     pattern — per-stage runtime branching measured slower).
     """
     from .pallas_sph import density_planes, accel_planes
@@ -1137,7 +1141,13 @@ def step_planes(state: IncState, params: SimParams, geom: PlaneGeom,
         planes6 = exchange(planes6, n_pos_fields=3)
     occ_q, occ_s = pm.occupancy_bounds(planes6, params, geom)
     if continuity:
-        need = (state.age % RESUM_EVERY) == 0
+        if params.cont_form in ("sum", "relax"):
+            # these forms re-anchor at the in-sweep summation (fully /
+            # geometrically), so drift is structurally bounded; only the
+            # very first step needs a seeding sweep
+            need = state.age == 0
+        else:
+            need = (state.age % RESUM_EVERY) == 0
         rho_p = jax.lax.cond(
             need,
             lambda _: density_planes(planes6[:3], occ_q, occ_s, params,

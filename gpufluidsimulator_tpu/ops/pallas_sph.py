@@ -210,18 +210,29 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     a flat-1024 routing network per rank tile — measured ~11 ms @1.47M,
     BASELINE.md — v3 replaces that with one extra output channel.)
 
-    With ``continuity`` (requires fuse_integrate + emit_movers) the pair
-    loop additionally accumulates the CONTINUITY-EQUATION density rate
-    drho/dt = sum_j m (v_i - v_j) . grad W_spiky and emits the explicit-
-    Euler-updated density plane rho_new = rho + dt*drho/dt.  The density
-    input group then carries the CARRIED rho of the incremental path
+    With ``continuity`` (requires fuse_integrate + emit_movers) the
+    density input group carries the CARRIED rho of the incremental path
     (ops/inc.py continuity tier) instead of a fresh summation sweep — the
-    whole density sweep drops out of the step.  Marginal pair cost is ~8
-    VPU ops (dv, dv.dd, fma) on top of ~26: every geometric factor
-    (dd, r2, inv_r, hr, hr^2/r) is already computed for the pressure term.
-    Reference match: SURVEY.md §2 "Density/pressure pass" — the capability
-    is density+EOS; the summation form is re-synced by periodic
-    re-summation in inc.step_planes (drift is O(dt) between resyncs).
+    whole density sweep drops out of the step — and the pair loop emits
+    next step's density plane in one of two forms (SimParams.cont_form):
+
+      * "sum" (default, round 5): emit the COMPLETED summation
+        R(x) + dt*dR/dt — the exact poly6 summation advanced by its own
+        concurrent continuity rate, fused into one accumulator
+        (sum d4*(d2 - 6 dt (vi-vj).dd)).  Mode-identical to the rate
+        form (same lag eigenstructure, same deferred correction) but
+        re-anchored at an exact summation every step: zero drift, no
+        resum cadence, true self-density for isolated particles.
+        Marginal pair cost ~2 ops: d2, d4 and dot are already computed
+        for the correction term.
+      * "rate" (round 4): accumulate drho/dt = sum_j m (v_i-v_j).gradW
+        (poly6 gradient) and emit the explicit-Euler update
+        rho_new = rho + dt*drho/dt; re-synced by a periodic summation
+        sweep (ops/inc.RESUM_EVERY).  Marginal pair cost is ~8 VPU ops
+        (dv, dv.dd, fma) on top of ~26.
+
+    Reference match: SURVEY.md §2 "Density/pressure pass" — the
+    capability is density+EOS.
     """
     dzs, dys, dxs = _stencil(params.dim)
     if continuity:
@@ -270,6 +281,38 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     drho_scale = jnp.float32(
         -6.0 * params.dt * kernels.poly6_coef(params.h, params.dim)
         * params.particle_mass)
+    # "sum" form (SimParams.cont_form): the pair accumulator holds the
+    # exact poly6 summation sum (h^2-r^2)^3 and the emitted density is
+    # R(x) — a fresh summation each step, read by next step's EOS one
+    # step stale, stabilized by the deferred correction exactly like the
+    # rate form.  MEASURED NEGATIVE (round 5): "completing" the emission
+    # to R(x) + dt*dR/dt (one fused op, d4*(d2 - 6 dt dot)) on the
+    # theory that it reproduces the rate form's forward-Euler estimate
+    # made the KE acceptance gate WORSE (0.0658 vs pure R(x)'s 0.0531
+    # @1000 full-CFL steps) — the deferred-correction pressure term
+    # already compensates the one-step lag, so completing the density as
+    # well double-corrects.  Emit R(x) alone.
+    sum_form = continuity and params.cont_form == "sum"
+    rho_sum_scale = jnp.float32(
+        kernels.poly6_coef(params.h, params.dim) * params.particle_mass)
+    # "relax" form (the default): rho' = (1-l)(rho + dt drho) + l R(x),
+    # folded into the single rate accumulator as d4*(dot + kappa_d2*d2):
+    #   (1-l) drho_scale * sum d4*dot + l c_sum * sum d4*d2
+    #     = (1-l) drho_scale * sum d4*(dot + kappa_d2 d2)
+    #   kappa_d2 = l c_sum / ((1-l) drho_scale)
+    # so the density-error mode decays by (1-l) per step (drift bounded,
+    # frozen splash rho relaxes to truth) at ~2 extra ops/pair.
+    relax_form = continuity and params.cont_form == "relax"
+    _l = params.cont_relax if relax_form else 0.0
+    _c_sum = (kernels.poly6_coef(params.h, params.dim)
+              * params.particle_mass)
+    _drho_sc = (-6.0 * params.dt
+                * kernels.poly6_coef(params.h, params.dim)
+                * params.particle_mass)
+    kappa_d2 = jnp.float32(
+        _l * _c_sum / ((1.0 - _l) * _drho_sc) if relax_form and _l < 1.0
+        else 0.0)
+    one_m_l = jnp.float32(1.0 - _l)
     h2c = jnp.float32(params.h * params.h)
     # Monaghan alpha-viscosity fold (continuity tier only; see
     # SimParams.cont_alpha for why the continuity form NEEDS a stabilizer):
@@ -291,7 +334,7 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
     # rides as a 9th rolled query channel and the pair cost is ~2 ops.
     # The self-pair cancels exactly: qf8*cir = kappa.  Requires
     # viscosity > 0 (ch7 nonzero) — statically disabled otherwise.
-    use_delta = (continuity and params.cont_delta > 0.0
+    use_delta = (continuity and not sum_form and params.cont_delta > 0.0
                  and params.viscosity > 0.0)
     kappa = jnp.float32(2.0 * params.cont_delta * params.h
                         * params.sound_speed)
@@ -424,14 +467,20 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                 if params.dim == 3:
                     az = az + coef_p * ddz + coef_v * cvz
                 if continuity:
-                    # continuity density rate: (v_i - v_j) . dd with the
-                    # poly6-gradient weight (h^2-r^2)^2 — dd, r2, dot and
-                    # the d4*dot product are shared with the correction
-                    # term above; the constant -6 c_poly6 m dt folds into
-                    # drho_scale outside.  With use_delta the delta-SPH
-                    # diffusion rides the same accumulator:
+                    # "sum": the exact poly6 summation density rides the
+                    # accumulator — d4*d2 = (h^2-r^2)^3, one extra mul
+                    # (d2, d4 shared with the correction term above).
+                    # "rate": the continuity density rate (v_i-v_j).dd
+                    # with the poly6-gradient weight (h^2-r^2)^2 — the
+                    # constant -6 c_poly6 m dt folds into drho_scale
+                    # outside; with use_delta the delta-SPH diffusion
+                    # rides the same accumulator:
                     # w = dot - kappa*(1 - rho_i/rho_j).
-                    if use_delta:
+                    if sum_form:
+                        sr = sr + d4 * d2
+                    elif relax_form:
+                        sr = sr + d4 * (dot + kappa_d2 * d2)
+                    elif use_delta:
                         sr = sr + d4 * ((dot - kappa) + qf[8] * cir)
                     else:
                         sr = sr + t_dot
@@ -537,12 +586,23 @@ def _force_kernel(occ_q_ref, occ_s_ref, *args, params: SimParams,
                     valid_q, v3[c], 0.0)
             flag_ref[k1, 0, 0, :, :] = moved.astype(jnp.float32)
             if continuity:
-                # explicit-Euler continuity update of the CARRIED density:
-                # the raw (pre-EOS) query rho comes straight off the center
-                # input ref — the window's channel 6 was overwritten by the
-                # EOS fold at build time
-                rho_q = rrefs[ctr][1][k1, 0, 0, :, :]
-                rho_new = rho_q + drho_scale * out[3]
+                if sum_form:
+                    # fresh poly6 summation over this step's (pre-kick)
+                    # positions — next step's EOS reads it one step stale
+                    rho_new = rho_sum_scale * out[3]
+                else:
+                    # explicit-Euler continuity update of the CARRIED
+                    # density: the raw (pre-EOS) query rho comes straight
+                    # off the center input ref — the window's channel 6
+                    # was overwritten by the EOS fold at build time.
+                    # relax form: the (1-l) prefactor distributes over
+                    # both terms (the kappa_d2 fold put the summation
+                    # inside the same accumulator)
+                    rho_q = rrefs[ctr][1][k1, 0, 0, :, :]
+                    if relax_form:
+                        rho_new = one_m_l * (rho_q + drho_scale * out[3])
+                    else:
+                        rho_new = rho_q + drho_scale * out[3]
                 rho_ref[k1, 0, 0, :, :] = jnp.where(valid_q, rho_new, 0.0)
             return 0
 

@@ -426,10 +426,12 @@ def test_continuity_first_step_matches_summation():
 
 
 def test_continuity_drho_matches_n2_reference():
-    """The force kernel's fused continuity accumulation must equal the
-    O(N^2) poly6-gradient rate sum m (vi-vj).gradW to float tolerance."""
+    """The force kernel's fused RATE-form continuity accumulation must
+    equal the O(N^2) poly6-gradient rate sum m (vi-vj).gradW to float
+    tolerance (cont_form='rate' — the round-4 formulation, kept)."""
     from gpufluidsimulator_tpu.ops import kernels, pallas_sph
     params, state = _scene(n=400, dim=2)
+    params = params.replace(cont_form="rate")
     st = solver.run(state, params, 5, method="pallas_inc")  # nonzero vels
     geom = pm.geometry(params)
     s = inc.to_planes(st.pos, st.vel, st.ids, params, geom, continuity=True)
@@ -458,6 +460,151 @@ def test_continuity_drho_matches_n2_reference():
     ref = np.array([drho_ref[id2row[i]] for i in ids_slot])
     scale = np.maximum(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(drho_k, ref, rtol=0, atol=2e-6 * scale)
+
+
+def test_continuity_sum_rho_matches_n2_reference():
+    """SUM form (the round-5 default): the force sweep's emitted density
+    plane must equal the O(N^2) float64 poly6 summation density R(x) at
+    the step's input positions to float tolerance — the in-sweep
+    accumulation is the exact density-kernel math riding the force pair
+    loop."""
+    from gpufluidsimulator_tpu.ops import kernels, pallas_sph
+    params, state = _scene(n=400, dim=2)
+    params = params.replace(cont_form="sum")
+    st = solver.run(state, params, 5, method="pallas_inc")
+    geom = pm.geometry(params)
+    s = inc.to_planes(st.pos, st.vel, st.ids, params, geom, continuity=True)
+    p6 = pm.halo_x(s.fields6)
+    occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
+    rho_p = pallas_sph.density_planes(p6[:3], occ_q, occ_s, params, geom)
+    rho_h = pm.halo_x(rho_p)
+    new6, rho_new, flagp = pallas_sph.accel_planes(
+        p6, rho_h, occ_q, occ_s, params, geom, fuse_integrate=True,
+        emit_movers=True, continuity=True)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    ids_slot = np.asarray(s.idp)[valid].astype(int)
+    rho_k = np.asarray(rho_new)[valid]
+
+    pos = np.asarray(st.pos, np.float64)
+    dd = pos[:, None, :] - pos[None, :, :]
+    r2 = (dd ** 2).sum(-1)
+    w = np.maximum(params.h ** 2 - r2, 0.0) ** 3
+    c = kernels.poly6_coef(params.h, params.dim) * params.particle_mass
+    rho_ref = c * w.sum(axis=1)
+    id2row = {int(pid): i for i, pid in enumerate(np.asarray(st.ids))}
+    ref = np.array([rho_ref[id2row[i]] for i in ids_slot])
+    np.testing.assert_allclose(rho_k, ref, rtol=0,
+                               atol=2e-6 * params.rest_density)
+    # and it must match the standalone density sweep on the same planes
+    # (same math, different kernel/accumulation order)
+    rho_sweep = np.asarray(rho_p)[valid]
+    np.testing.assert_allclose(rho_k, rho_sweep, rtol=0, atol=2e-3)
+
+
+def test_continuity_sum_rho_independent_of_carried_drift():
+    """SUM form: the emitted density is a pure function of the step's
+    input positions — drift injected into the carried rho plane changes
+    the step's FORCES (EOS input) but must NOT propagate into the
+    emitted density."""
+    params, state = _scene(n=700, dim=2)
+    params = params.replace(cont_form="sum")
+    geom = pm.geometry(params)
+    m_cap = inc.mover_capacity(state.n)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom,
+                      continuity=True)
+    s = inc.step_planes(s, params, geom, m_cap)   # seeds rho (age 0)
+    s = inc.step_planes(s, params, geom, m_cap)
+    clean = inc.step_planes(s, params, geom, m_cap)
+    drifted = inc.step_planes(s._replace(rhop=s.rhop + 37.0), params,
+                              geom, m_cap)
+    # positions diverge (different EOS pressure this step)...
+    assert not np.array_equal(np.asarray(drifted.fields6),
+                              np.asarray(clean.fields6))
+    # ...but the emitted density, evaluated at the SAME input positions,
+    # is identical PER PARTICLE: no drift channel exists in the sum form.
+    # (Align by id — the diverged forces can put a particle in different
+    # slots/mover paths in the two runs.)
+    np.testing.assert_array_equal(
+        _rho_by_id(clean, geom), _rho_by_id(drifted, geom))
+
+
+def _rho_by_id(s, geom):
+    """id-indexed carried-rho vector from an IncState (continuity tier)."""
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    ids = np.asarray(s.idp)[valid].astype(np.int64)
+    rho = np.asarray(s.rhop)[valid]
+    out = np.zeros(int(ids.max()) + 1, np.float32)
+    out[ids] = rho
+    return out
+
+
+def test_continuity_relax_matches_n2_reference():
+    """RELAX form (the round-5 default): the emitted density must equal
+    (1-l)(rho + dt drho_N2) + l R_N2 against the O(N^2) float64
+    reference — the kappa_d2 fold puts both terms through one
+    accumulator and this pins the algebra."""
+    from gpufluidsimulator_tpu.ops import kernels, pallas_sph
+    params, state = _scene(n=400, dim=2)
+    params = params.replace(cont_form="relax")
+    lam = params.cont_relax
+    st = solver.run(state, params, 5, method="pallas_inc")
+    geom = pm.geometry(params)
+    s = inc.to_planes(st.pos, st.vel, st.ids, params, geom, continuity=True)
+    # synthetic carried rho (nonzero so the (1-l)*rho_q term is exercised)
+    rhop = jnp.where(s.idp >= 0, 900.0 + s.idp % 37, 0.0)
+    p6 = pm.halo_x(s.fields6)
+    occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
+    rho_h = pm.halo_x(rhop)
+    new6, rho_new, flagp = pallas_sph.accel_planes(
+        p6, rho_h, occ_q, occ_s, params, geom, fuse_integrate=True,
+        emit_movers=True, continuity=True)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    ids_slot = np.asarray(s.idp)[valid].astype(int)
+    rho_k = np.asarray(rho_new)[valid]
+    rho_q = np.asarray(rhop)[valid]
+
+    pos = np.asarray(st.pos, np.float64)
+    vel = np.asarray(st.vel, np.float64)
+    dd = pos[:, None, :] - pos[None, :, :]
+    r2 = (dd ** 2).sum(-1)
+    d2 = np.maximum(params.h ** 2 - r2, 0.0)
+    dot = ((vel[:, None, :] - vel[None, :, :]) * dd).sum(-1)
+    c = kernels.poly6_coef(params.h, params.dim) * params.particle_mass
+    drho = -6.0 * c * (d2 ** 2 * dot).sum(axis=1)
+    rsum = c * (d2 ** 3).sum(axis=1)
+    id2row = {int(pid): i for i, pid in enumerate(np.asarray(st.ids))}
+    rows = np.array([id2row[i] for i in ids_slot])
+    ref = ((1.0 - lam) * (rho_q + params.dt * drho[rows])
+           + lam * rsum[rows])
+    np.testing.assert_allclose(rho_k, ref, rtol=0,
+                               atol=5e-6 * params.rest_density)
+
+
+def test_continuity_relax_decays_carried_drift():
+    """RELAX form: drift injected into the carried rho must decay toward
+    the in-sweep summation instead of persisting (the rate form carries
+    it until the next resum; VERDICT r4 #6's frozen-rho failure mode)."""
+    params, state = _scene(n=700, dim=2)
+    params = params.replace(cont_form="relax")
+    lam = params.cont_relax
+    geom = pm.geometry(params)
+    m_cap = inc.mover_capacity(state.n)
+    s = inc.to_planes(state.pos, state.vel, state.ids, params, geom,
+                      continuity=True)
+    s = inc.step_planes(s, params, geom, m_cap)   # seeds rho (age 0)
+    s = inc.step_planes(s, params, geom, m_cap)
+    clean = inc.step_planes(s, params, geom, m_cap)
+    drifted = inc.step_planes(s._replace(rhop=s.rhop + 40.0), params,
+                              geom, m_cap)
+    # align by id: the diverged forces can put a particle in different
+    # slots/mover paths in the two runs
+    diff = np.abs(_rho_by_id(drifted, geom) - _rho_by_id(clean, geom))
+    # one step decays the injected 40 by (1-lambda); allow slack for the
+    # force-feedback difference the drifted EOS causes
+    assert diff.max() <= (1.0 - lam) * 40.0 * 1.05 + 1.0, diff.max()
 
 
 def test_continuity_rho_travels_with_movers():
@@ -514,10 +661,11 @@ def test_continuity_rho_travels_with_movers():
 
 
 def test_continuity_resummation_resets_drift(monkeypatch):
-    """With RESUM_EVERY = 4, step 5 (age 4) must resummate: its carried-out
-    rho equals a fresh summation + one continuity increment, independent of
-    whatever drift accumulated in steps 2-4."""
+    """RATE form: with RESUM_EVERY = 4, step 5 (age 4) must resummate —
+    its carried-out rho equals a fresh summation + one continuity
+    increment, independent of whatever drift accumulated in steps 2-4."""
     params, state = _scene(n=700, dim=2)
+    params = params.replace(cont_form="rate")
     geom = pm.geometry(params)
     m_cap = inc.mover_capacity(state.n)
     monkeypatch.setattr(inc, "RESUM_EVERY", 4)

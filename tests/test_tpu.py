@@ -116,9 +116,11 @@ def test_occ_rowmax_kernel_matches_xla_on_chip():
 
 
 def test_continuity_drho_matches_n2_on_chip():
-    """The COMPILED fused continuity accumulation + deferred-correction
-    pressure path vs an O(N^2) f64 reference for the density rate."""
+    """The COMPILED fused RATE-form continuity accumulation +
+    deferred-correction pressure path vs an O(N^2) f64 reference for the
+    density rate (cont_form='rate', the round-4 formulation, kept)."""
     params, st = _evolved(n=1200, steps=200)
+    params = params.replace(cont_form="rate")
     geom, s = _planes_state(params, st, continuity=True)
     p6 = pm.halo_x(s.fields6)
     occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
@@ -145,6 +147,27 @@ def test_continuity_drho_matches_n2_on_chip():
     ref = np.array([drho_ref[id2row[i]] for i in ids_slot])
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(drho_k, ref, rtol=0, atol=5e-6 * scale)
+
+
+def test_continuity_sum_rho_matches_density_sweep_on_chip():
+    """The COMPILED sum-form (round-5 default) in-sweep summation density
+    must match the standalone density sweep over the same planes — the
+    same poly6 math through a different kernel and accumulation order."""
+    params, st = _evolved(n=1200, steps=200)
+    params = params.replace(cont_form="sum")
+    geom, s = _planes_state(params, st, continuity=True)
+    p6 = pm.halo_x(s.fields6)
+    occ_q, occ_s = pm.occupancy_bounds(p6, params, geom)
+    rho_p = pallas_sph.density_planes(p6[:3], occ_q, occ_s, params, geom)
+    rho_h = pm.halo_x(rho_p)
+    new6, rho_new, flagp = pallas_sph.accel_planes(
+        p6, rho_h, occ_q, occ_s, params, geom, fuse_integrate=True,
+        emit_movers=True, continuity=True)
+    valid = np.asarray((s.fields6[0] < pm.SENTINEL * 0.5)
+                       & inc.interior_mask(geom)[None])
+    np.testing.assert_allclose(np.asarray(rho_new)[valid],
+                               np.asarray(rho_p)[valid],
+                               rtol=0, atol=2e-3 * params.rest_density)
 
 
 def test_place_extract_roundtrip_on_chip():
