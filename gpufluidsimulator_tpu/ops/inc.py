@@ -35,7 +35,7 @@ from ..models.params import SimParams
 from . import planes as pm
 from . import route
 from .planes import LANES, TILE_X, ROWS_PER_BLOCK, PlaneGeom, SENTINEL
-from .route import TILE, OUT_ROWS, PAD_ROWS, SPACE_ROWS
+from .route import TILE, OUT_ROWS, SPACE_ROWS, STRIP_ROWS
 
 COMPACT_BATCH = 4      # routing tiles handled per compact-kernel program
 COMPACT_DEPTH = 4      # DMA ring depth (tiles of prefetch lead; see
@@ -190,16 +190,18 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
     (tile ids prefetched); live tiles are a prefix of the compacted order,
     so whole batches beyond the live count skip (and share the dummy out
     block).  Channel refs arrive as GROUPS: a (rows_total, 128) single
-    channel, or a (g, rows_total, 128) multi-channel stack whose g
-    channels ride ONE strided DMA (dims (g, 64, 128) — middle dim a
-    sublane multiple, the known-safe form).  Grouping remains SUPPORTED
-    but the production callers pass ungrouped per-channel copies: the
-    strided group DMA measured SLOWER at real mover densities
-    (scripts/bench_compact.py round 3 — the huge inter-channel HBM
-    stride defeats the DMA engine), and per-copy issue latency hides
-    behind the COMPACT_DEPTH ring (see to_flat).  DMA ring-buffered at
-    tile granularity across sub-tiles AND across programs with
-    COMPACT_DEPTH-1 tiles of lead.
+    channel, or a (g, rows_total, 128) multi-channel stack.  A group's
+    channels are fetched with g SEPARATE per-channel copies (each a 2D
+    slice at a static leading index — round 3 measured the alternative
+    one-strided-(g, 64, 128) DMA SLOWER at real mover densities, the
+    huge inter-channel HBM stride defeating the DMA engine, while
+    per-copy issue latency hides behind the COMPACT_DEPTH ring), but the
+    HBM OPERAND stays the unsliced stack: round 5's profiler timeline
+    caught XLA materializing six full-plane slice copies (~1.1 ms/step
+    @1.2M, fusion.93) when the caller passed new6[i] per channel —
+    grouped operands + per-channel kernel copies keep both costs off.
+    DMA ring-buffered at tile granularity across sub-tiles AND across
+    programs with COMPACT_DEPTH-1 tiles of lead.
     """
     b = pl.program_id(0)
 
@@ -207,9 +209,9 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
     n_ch = sum(group_sizes) - 1     # last group is the flag channel
     g_off = [sum(group_sizes[:i]) for i in range(n_g)]
     ch_refs = refs[:n_g]
-    out_ref = refs[n_g]             # (1, B, n_ch, PAD_ROWS, 128) VMEM
+    out_ref = refs[n_g]             # (1, B, n_ch, STRIP_ROWS, 128) VMEM
     scr = refs[n_g + 1]             # (DEPTH, n_ch + 1, OUT_ROWS, 128) VMEM
-    sems = refs[n_g + 2]            # (DEPTH, n_g) DMA semaphores
+    sems = refs[n_g + 2]            # (DEPTH, n_ch + 1) DMA semaphores
     B = COMPACT_BATCH
     D = COMPACT_DEPTH
 
@@ -217,15 +219,19 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
         tc = jnp.minimum(t, nt - 1)
         return jnp.where(t < nt, starts_ref[tc + 1] - starts_ref[tc], 0)
 
-    def dma(i, slot, tid):
+    def dmas(i, slot, tid):
+        """Per-CHANNEL copies for group i (see the docstring: separate
+        copies beat the strided group DMA; the 2D-slice-of-3D-ref form
+        with a static leading index and a 64-row middle dim is safe)."""
         src, g, off = ch_refs[i], group_sizes[i], g_off[i]
         if g == 1:
-            return pltpu.make_async_copy(
+            return [pltpu.make_async_copy(
                 src.at[pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
-                scr.at[slot, off], sems.at[slot, i])
-        return pltpu.make_async_copy(
-            src.at[:, pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
-            scr.at[slot, off:off + g], sems.at[slot, i])
+                scr.at[slot, off], sems.at[slot, off])]
+        return [pltpu.make_async_copy(
+            src.at[kc, pl.ds(tid * OUT_ROWS, OUT_ROWS), :],
+            scr.at[slot, off + kc], sems.at[slot, off + kc])
+            for kc in range(g)]
 
     @pl.when(b == 0)
     def _():
@@ -234,7 +240,8 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
             def _(t0=t0):
                 tc = jnp.minimum(t0, nt - 1)
                 for i in range(n_g):
-                    dma(i, t0 % D, tile_ids_ref[tc]).start()
+                    for cp in dmas(i, t0 % D, tile_ids_ref[tc]):
+                        cp.start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 1)
     row_ = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, LANES), 0)
@@ -245,7 +252,8 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
         @pl.when((t + D - 1 < nt) & (m_of(nxt) > 0))
         def _(nxt=nxt, t=t):
             for i in range(n_g):
-                dma(i, (t + D - 1) % D, tile_ids_ref[nxt]).start()
+                for cp in dmas(i, (t + D - 1) % D, tile_ids_ref[nxt]):
+                    cp.start()
 
         @pl.when(m_of(t) > 0)
         def _(t=t, j=j):
@@ -253,7 +261,8 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
             tid = tile_ids_ref[tc]
             buf = t % D
             for i in range(n_g):
-                dma(i, buf, tid).wait()
+                for cp in dmas(i, buf, tid):
+                    cp.wait()
 
             o = starts_ref[tc] % LANES
             cls = cls_ref[tc]
@@ -277,7 +286,7 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
                     out_ref[0, j, i, 0:1, :] = jnp.where(
                         lane1 == o, v, 0.0)
                     out_ref[0, j, i, 1:, :] = jnp.zeros(
-                        (PAD_ROWS - 1, LANES), jnp.float32)
+                        (STRIP_ROWS - 1, LANES), jnp.float32)
 
             # two-level compact (BASELINE.md stage-compact front): first
             # collapse each lane's flagged elements to its top rows with a
@@ -322,7 +331,7 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
                             jnp.where(lane_s < o, a,
                                       0.0)[STAGE_B - 1:STAGE_B, :]
                         out_ref[0, j, i, STAGE_B + 1:, :] = jnp.zeros(
-                            (PAD_ROWS - STAGE_B - 1, LANES), jnp.float32)
+                            (STRIP_ROWS - STAGE_B - 1, LANES), jnp.float32)
 
                 @pl.when(cls == 2)
                 def _(fields=fields, flag=flag, o=o, j=j):
@@ -334,8 +343,12 @@ def _compact_kernel(tile_ids_ref, starts_ref, cls_ref, nlive_ref, *refs,
                         body = jnp.where((row_ == 0) & (lane < o), 0.0,
                                          rot)
                         out_ref[0, j, i, :OUT_ROWS, :] = body
-                        out_ref[0, j, i, OUT_ROWS:, :] = jnp.where(
-                            lane < o, rot, 0.0)[0:1, :]
+                        # wrap row at 64; rows 65+ zero (never read)
+                        out_ref[0, j, i, OUT_ROWS:OUT_ROWS + 1, :] = \
+                            jnp.where(lane < o, rot, 0.0)[0:1, :]
+                        out_ref[0, j, i, OUT_ROWS + 1:, :] = jnp.zeros(
+                            (STRIP_ROWS - OUT_ROWS - 1, LANES),
+                            jnp.float32)
 
 
 def _compact_kernel2(tile_ids_ref, cls_ref, o_ref, nlive_ref, *refs,
@@ -359,7 +372,7 @@ def _compact_kernel2(tile_ids_ref, cls_ref, o_ref, nlive_ref, *refs,
     n_g = len(group_sizes)
     n_ch = sum(group_sizes) - 1     # last group is the flag channel
     in_refs = refs[:n_g]
-    out_ref = refs[n_g]             # (1, n_ch, PAD_ROWS, 128) VMEM
+    out_ref = refs[n_g]             # (1, n_ch, STRIP_ROWS, 128) VMEM
 
     def chan(i):
         """Global channel i (0..n_ch-1 data, n_ch = flag) -> (64,128) tile."""
@@ -383,7 +396,7 @@ def _compact_kernel2(tile_ids_ref, cls_ref, o_ref, nlive_ref, *refs,
         for i in range(n_ch):
             v = jnp.sum(jnp.where(sel, chan(i), 0.0))
             out_ref[0, i, 0:1, :] = jnp.where(lane1 == o, v, 0.0)
-            out_ref[0, i, 1:, :] = jnp.zeros((PAD_ROWS - 1, LANES),
+            out_ref[0, i, 1:, :] = jnp.zeros((STRIP_ROWS - 1, LANES),
                                              jnp.float32)
 
     @pl.when((cls == 1) | (cls == 2))
@@ -407,7 +420,7 @@ def _compact_kernel2(tile_ids_ref, cls_ref, o_ref, nlive_ref, *refs,
                 out_ref[0, i, STAGE_B:STAGE_B + 1, :] = \
                     jnp.where(lane_s < o, a, 0.0)[STAGE_B - 1:STAGE_B, :]
                 out_ref[0, i, STAGE_B + 1:, :] = jnp.zeros(
-                    (PAD_ROWS - STAGE_B - 1, LANES), jnp.float32)
+                    (STRIP_ROWS - STAGE_B - 1, LANES), jnp.float32)
 
         @pl.when(cls == 2)
         def _(fields=fields, flag=flag):
@@ -418,8 +431,10 @@ def _compact_kernel2(tile_ids_ref, cls_ref, o_ref, nlive_ref, *refs,
                 rot = jnp.where(lane < o, hi, a)
                 body = jnp.where((row_ == 0) & (lane < o), 0.0, rot)
                 out_ref[0, i, :OUT_ROWS, :] = body
-                out_ref[0, i, OUT_ROWS:, :] = jnp.where(
+                out_ref[0, i, OUT_ROWS:OUT_ROWS + 1, :] = jnp.where(
                     lane < o, rot, 0.0)[0:1, :]
+                out_ref[0, i, OUT_ROWS + 1:, :] = jnp.zeros(
+                    (STRIP_ROWS - OUT_ROWS - 1, LANES), jnp.float32)
 
 
 def compact_flagged(channels, flags, max_out: int, use_kernel=None):
@@ -427,11 +442,12 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
 
     channels: list of f32 arrays — each either a single channel (shape ==
     flags.shape) or a GROUP (leading dim = channel count, rest ==
-    flags.shape).  A group's channels ride one strided DMA per tile in
-    the kernel; grouping stays supported (and tested) but the production
-    callers pass UNGROUPED channels — the strided group DMA measured
-    slower at real mover densities (scripts/bench_compact.py round 3;
-    see the to_flat comment).  flags: bool array.  Returns
+    flags.shape).  Production callers pass the plane stack as ONE group:
+    per-channel stack[i] operands made XLA materialize full-plane slice
+    copies (~1.1 ms/step @1.2M, round-5 profiler timeline), while inside
+    the kernel a group is still fetched with per-channel copies (the
+    strided group DMA measured slower at real mover densities,
+    scripts/bench_compact.py round 3).  flags: bool array.  Returns
     (vals (C, max_out), count ()) — slots beyond ``max_out`` are dropped
     (caller counts).  Output order is the deterministic two-level tile
     order: tiles in slot order, and within a tile (lane-rank, lane)-major
@@ -526,7 +542,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
             grid=(nt,),
             in_specs=[mk_in(g) for g in group_sizes],
             out_specs=pl.BlockSpec(
-                (1, n_ch, PAD_ROWS, LANES),
+                (1, n_ch, STRIP_ROWS, LANES),
                 lambda t, tids, cls, o, nl:
                     (jnp.where(t < nl[0], t, nt), 0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -536,7 +552,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
                               nt=nt),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (nt + 1, n_ch, PAD_ROWS, LANES), jnp.float32),
+                (nt + 1, n_ch, STRIP_ROWS, LANES), jnp.float32),
             interpret=jax.default_backend() != "tpu",
         )(tids_in, cls_d, o_t, n_live.reshape(1), *flat_g)
     else:
@@ -555,12 +571,12 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
             grid=(nb,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_g,
             out_specs=pl.BlockSpec(
-                (1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES), omap,
+                (1, COMPACT_BATCH, n_ch, STRIP_ROWS, LANES), omap,
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((COMPACT_DEPTH, n_ch + 1, OUT_ROWS, LANES),
                            jnp.float32),
-                pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_g)),
+                pltpu.SemaphoreType.DMA((COMPACT_DEPTH, n_ch + 1)),
             ],
         )
         kernel = functools.partial(_compact_kernel, group_sizes=group_sizes,
@@ -569,7 +585,7 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (nb + 1, COMPACT_BATCH, n_ch, PAD_ROWS, LANES),
+                (nb + 1, COMPACT_BATCH, n_ch, STRIP_ROWS, LANES),
                 jnp.float32),
             interpret=jax.default_backend() != "tpu",
         )(tile_ids, starts_c, cls_c, n_live.reshape(1), *flat_g)
@@ -577,8 +593,8 @@ def compact_flagged(channels, flags, max_out: int, use_kernel=None):
         # along at the tail — stitch spans [tfirst, tlast] from starts_c,
         # all < nt, so it never reads it (slicing it off would
         # materialize a copy)
-        strips = strips.reshape((nb + 1) * COMPACT_BATCH, n_ch, PAD_ROWS,
-                                LANES)
+        strips = strips.reshape((nb + 1) * COMPACT_BATCH, n_ch,
+                                STRIP_ROWS, LANES)
 
     n_blocks = max_out // TILE
     p0s = jnp.arange(n_blocks, dtype=jnp.int32) * TILE
@@ -989,13 +1005,12 @@ def to_flat(state: IncState, params: SimParams, geom: PlaneGeom, n: int):
     slots never exceed the particle count).
     """
     valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
-    # UNGROUPED channels: the strided multi-channel group DMA measured
-    # SLOWER than separate per-channel copies at both mover densities
+    # fields6 rides as ONE grouped operand (slice-copy avoidance, see
+    # extract_movers); the kernel's fetches stay per-channel — the
+    # strided group DMA measured SLOWER at both mover densities
     # (scripts/bench_compact.py round 3: 3.41 vs 2.33 ms @1e-4 slot
-    # density, 6.25 vs 5.50 @1.3e-3) — the huge inter-channel stride
-    # defeats the DMA engine; per-copy issue latency is hidden by the
-    # COMPACT_DEPTH ring.
-    channels = [state.fields6[i] for i in range(6)] + [state.idp]
+    # density, 6.25 vs 5.50 @1.3e-3).
+    channels = [state.fields6, state.idp]
     if params.diagnostics:
         from .pallas_sph import density_planes
         halo6 = pm.halo_x(state.fields6)
@@ -1011,7 +1026,7 @@ def to_flat_lite(state: IncState, geom: PlaneGeom, n: int):
     extraction for movie rollouts (SURVEY.md §3.3 render-frame stack).
     Same two-level tile order as to_flat; order is set-valued per frame."""
     valid = (state.fields6[0] < SENTINEL * 0.5) & interior_mask(geom)[None]
-    channels = [state.fields6[i] for i in range(3)] + [state.idp]
+    channels = [state.fields6[:3], state.idp]
     return compact_flagged(channels, valid, _round_tile(n))
 
 
@@ -1038,8 +1053,11 @@ def extract_movers(new6, idp, flagp, geom: PlaneGeom, m_cap: int,
     """
     flags = (flagp > 0.5) & interior_mask(geom)[None]
     staged_total = jnp.sum(flags).astype(jnp.int32)
-    # ungrouped: see to_flat — the strided group DMA measured slower
-    channels = [new6[i] for i in range(6)] + [idp]
+    # new6 rides as ONE grouped operand: per-channel new6[i] operands made
+    # XLA materialize six full-plane slice copies (~1.1 ms/step @1.2M —
+    # round-5 profiler timeline); the kernel still issues per-channel
+    # copies internally (the strided group DMA stays measured-slower)
+    channels = [new6, idp]
     if rhop is not None:
         channels.append(rhop)
     movers, m = compact_flagged(channels, flags, m_cap)

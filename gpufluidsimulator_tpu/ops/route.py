@@ -50,6 +50,17 @@ SPACE_ROWS = OUT_ROWS + 8   # 72-row routing space for the tile kernels:
 # (sublane-aligned) hold any route.  The networks are compute-bound and
 # every butterfly-stage op scales with the space, so 72 instead of the
 # generic 128-row LOCAL is a ~1.8x kernel-cost cut (BASELINE.md).
+STRIP_ROWS = SPACE_ROWS     # 72: rows per tile STRIP (extract/compact
+# kernel outputs consumed by stitch).  Strips logically need only 65
+# rows (a lane offset o < 128 plus an 8192-slot run = 8320 flat
+# positions), but 65 is not a sublane multiple, so (.., 65, 128) arrays
+# carry T(8,128) layout padding and the flat (rows, 128) view the stitch
+# DMAs require forced XLA to materialize a RELAYOUT COPY of the whole
+# strips buffer — 1.53 ms/step @1.2M evolved (round-5 profiler timeline,
+# reshape.583; invisible to prefix-difference phase attribution).  At 72
+# rows the flatten is a free bitcast; rows 65-71 are never read by the
+# stitch (its window masks cap flat reads at 8320) and cost ~10% more
+# strip DMA volume, ~0.1 ms — net ~-1.4 ms/step.
 STITCH_W = 4                # strip tiles per stitch DMA descriptor: spans
 # are consecutive tile indices, so one contiguous copy covers w tiles'
 # 9-channel strips (~1.2 MB) — per-tile trips measured DMA-latency-bound
@@ -404,7 +415,8 @@ def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,
     def _():
         # tile owns no particles; stitch never reads its strip, but keep the
         # output defined (the block is copied back from VMEM regardless)
-        out_ref[0, :, :, :] = jnp.zeros((n_ch, PAD_ROWS, LANES), jnp.float32)
+        out_ref[0, :, :, :] = jnp.zeros((n_ch, STRIP_ROWS, LANES),
+                                        jnp.float32)
 
     @pl.when(m != 0)
     def _():
@@ -430,13 +442,15 @@ def _extract_kernel(starts_ref, vals_ref, shifts_ref, out_ref,
         routed, flag_b = route_bwd(fields, jnp.maximum(shift, 0), flag,
                                    rows=SPACE_ROWS)
         for c in range(n_ch):
-            out_ref[0, c, :, :] = routed[c][:PAD_ROWS, :]
+            # rows 65-71 carry routing-space leftovers; the stitch never
+            # reads past flat position 8320 (row 64), so they ride along
+            out_ref[0, c, :, :] = routed[c][:STRIP_ROWS, :]
 
 
 def extract(value_stack, shifts, geom: PlaneGeom, starts=None):
     """(C, K, pz, n_bx, py, 128) slot values + routing shifts ->
-    (n_tiles, C, 65, 128) per-tile slot-sorted particle runs, where tile t's
-    run occupies flat positions [start_t % 128, start_t % 128 + m_t).
+    (n_tiles, C, STRIP_ROWS, 128) per-tile slot-sorted particle runs, where
+    tile t's run occupies flat positions [start_t % 128, start_t % 128 + m_t).
 
     ``starts`` (n_tiles+1,): per-tile particle offsets — empty tiles skip the
     inverse network entirely."""
@@ -453,7 +467,7 @@ def extract(value_stack, shifts, geom: PlaneGeom, starts=None):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_ch, PAD_ROWS, LANES),
+            (1, n_ch, STRIP_ROWS, LANES),
             lambda t, *_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM),
     )
@@ -464,7 +478,7 @@ def extract(value_stack, shifts, geom: PlaneGeom, starts=None):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, n_ch, PAD_ROWS, LANES),
+        out_shape=jax.ShapeDtypeStruct((nt, n_ch, STRIP_ROWS, LANES),
                                        jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(starts, value_stack, shifts)
@@ -502,12 +516,14 @@ def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
         return jnp.clip(t0 + c * w, 0, nt - w)
 
     def dma(c, buf):
-        # strips_ref is 2D (nt*n_ch*PAD_ROWS, 128): DMAs of slices whose
+        # strips_ref is 2D (nt*n_ch*STRIP_ROWS, 128): DMAs of slices whose
         # last two dims are (rows, 128) are the only reliably supported
-        # form (a 4D source with the 65-row middle dim faults the TPU)
+        # form (a 4D source with a non-8-multiple middle dim faults the
+        # TPU; STRIP_ROWS=72 also makes the caller's flatten a free
+        # bitcast — see the constant's comment)
         return pltpu.make_async_copy(
-            strips_ref.at[pl.ds(base_of(c) * (n_ch * PAD_ROWS),
-                                w * n_ch * PAD_ROWS), :],
+            strips_ref.at[pl.ds(base_of(c) * (n_ch * STRIP_ROWS),
+                                w * n_ch * STRIP_ROWS), :],
             scr.at[buf], sem.at[buf])
 
     dma(0, 0).start()
@@ -538,12 +554,8 @@ def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
             jmask = (pos >= jnp.maximum(s_t - p0, 0)) & (pos < e_t - p0)
             new = []
             for ch in range(n_ch):
-                r0 = (wsub * n_ch + ch) * PAD_ROWS
-                x = jnp.concatenate(
-                    [scr[buf, r0:r0 + PAD_ROWS, :],
-                     jnp.zeros((SPACE_ROWS - PAD_ROWS, LANES),
-                               jnp.float32)],
-                    axis=0)
+                r0 = (wsub * n_ch + ch) * STRIP_ROWS
+                x = scr[buf, r0:r0 + STRIP_ROWS, :]   # == SPACE_ROWS rows
                 a = pltpu.roll(x, lane_rot, axis=1)
                 hi = pltpu.roll(a, row_rot + 1, axis=0)
                 lo = pltpu.roll(a, row_rot, axis=0)
@@ -558,7 +570,7 @@ def _stitch_kernel(starts_ref, tfirst_ref, tlast_ref, strips_ref, out_ref,
 
 
 def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
-    """(nt, C, 65, 128) tile runs -> (C, n_blocks*64, 128) compact
+    """(nt, C, STRIP_ROWS, 128) tile runs -> (C, n_blocks*64, 128) compact
     slot-sorted particle values.
 
     ``strips`` may carry MORE tiles than ``starts`` describes (the
@@ -572,13 +584,15 @@ def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
     round-2 high finding).
     """
     nt_, n_ch = strips.shape[0], strips.shape[1]
+    assert strips.shape[2] == STRIP_ROWS, strips.shape
     w = STITCH_W if nt_ >= STITCH_W else 1
     # kernel reads starts_ref[t + 1] for t <= nt_ - 1 -> needs nt_ + 1 entries
     pad = nt_ + 1 - starts.shape[0]
     if pad > 0:
         starts = jnp.concatenate(
             [starts, jnp.broadcast_to(starts[-1:], (pad,))])
-    strips = strips.reshape(nt_ * n_ch * PAD_ROWS, LANES)
+    # free bitcast: STRIP_ROWS is a sublane multiple (see the constant)
+    strips = strips.reshape(nt_ * n_ch * STRIP_ROWS, LANES)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
@@ -587,7 +601,7 @@ def stitch(strips, starts, tfirst, tlast, n_blocks: int, geom: PlaneGeom):
             (n_ch, 1, OUT_ROWS, LANES), lambda b, *_: (0, 0, b, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, w * n_ch * PAD_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((2, w * n_ch * STRIP_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
